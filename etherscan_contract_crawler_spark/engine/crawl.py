@@ -1,0 +1,262 @@
+"""CrawlEngine — the epoch loop tying every operator together (SURVEY.md §3.1).
+
+One epoch = one deterministic, resumable unit:
+
+    frontier ──anti-join(url_seen, bloom/cuckoo pre-filter)──► pending
+    pending  ──robots ∧ budgets ∧ politeness windows──────────► scheduled batch
+    scheduled ──mapInPandas fetch (injected fetcher)──────────► results
+    results(ok) ──decode/PSNR/caption validation──────────────► images MERGE
+    results(failed) ───────────────────────────────────────────► dead_letter MERGE
+    results(all) ──mark-at-attempt (K5 semantics)──────────────► url_seen MERGE
+                                                                + lineage commit
+    url_seen ──rebuild bloom/cuckoo segments (per-bucket)──────► segment store
+
+Commit ordering makes every write idempotent (MERGE not-matched on a key), so
+a crash anywhere mid-epoch resumes cleanly: the url_seen merge carries the
+epoch-completion lineage and is LAST — an epoch is complete iff its lineage
+landed. Reference analog of the checkpoint: `.processed.txt` append+flush per
+address (contract_crawler.py:488-490) with mark-at-attempt semantics; the
+reference's reload of it is broken (SURVEY.md §8 B2) — this engine implements
+the intended durable behavior.
+
+Frontier expansion (M5): discovered child URLs append to the frontier as next
+epoch's seeds — the monitor loop's moral equivalent (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom import SegmentStore
+from ..operators.dedup import unseen_with_bloom
+from ..operators.fetch import IMAGES_DDL, fetch_batch, synthetic_fetch_session
+from ..operators.politeness import schedule_epoch
+from ..operators.validate import validate_payloads
+from ..sources.seeds import FRONTIER_DDL, seeds_to_frontier
+from ..storage.icetable import SnapshotTable
+
+URL_SEEN_DDL = "url_sha1 string, domain_hash int, seen_epoch int"
+DEAD_LETTER_DDL = (
+    "url_sha1 string, url string, domain string, domain_hash int, attempts int, failed_epoch int"
+)
+
+
+@dataclass
+class EngineConfig:
+    warehouse: str
+    n_buckets: int = 32
+    epoch_duration_s: int = 60
+    batch_size: int | None = None
+    use_bloom: bool = True
+    expand_links: bool = False
+    max_retries: int = 3
+    n_salts: int = 8
+    bloom_bits_per_key: int = 12
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        budgets: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        fetch_session_factory=synthetic_fetch_session,
+    ):
+        self.spark = spark
+        self.cfg = config
+        self.budgets = budgets
+        self.robots = robots
+        self.fetch_session_factory = fetch_session_factory
+        w = config.warehouse
+        self.frontier = SnapshotTable(os.path.join(w, "frontier"))
+        self.url_seen = SnapshotTable(os.path.join(w, "url_seen"))
+        self.images = SnapshotTable(os.path.join(w, "images"))
+        self.dead_letter = SnapshotTable(os.path.join(w, "dead_letter"))
+        self.segments = SegmentStore(
+            os.path.join(w, "bloom_segments"), config.n_buckets, config.bloom_bits_per_key
+        )
+
+    # ---------- bootstrap ----------
+    def bootstrap(self, seeds: DataFrame) -> dict:
+        """Create tables and ingest the seed list (returns ingest stats)."""
+        frontier_rows, rejects = seeds_to_frontier(seeds, self.cfg.n_buckets, epoch=0)
+        self.frontier.create(FRONTIER_DDL)
+        self.url_seen.create(URL_SEEN_DDL)
+        self.images.create(IMAGES_DDL)
+        self.dead_letter.create(DEAD_LETTER_DDL)
+        frontier_rows = frontier_rows.cache()
+        n = frontier_rows.count()
+        self.frontier.append(frontier_rows, lineage={"epoch": -1, "seeded": n})
+        frontier_rows.unpersist()
+        return {"frontier_rows": n, "rejected": rejects.count()}
+
+    # ---------- epoch ----------
+    def last_completed_epoch(self) -> int:
+        return int(self.url_seen.lineage().get("epoch", -1))
+
+    def _bloom_version(self) -> int | None:
+        vs = self.segments.versions()
+        return vs[-1] if vs else None
+
+    def pending(self) -> DataFrame:
+        frontier_df = self.frontier.read(self.spark)
+        seen = self.url_seen.read(self.spark)
+        store = self.segments if self.cfg.use_bloom else None
+        return unseen_with_bloom(frontier_df, seen, store, self._bloom_version())
+
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        scheduled = schedule_epoch(
+            self.pending(),
+            budgets=self.budgets,
+            robots=self.robots,
+            epoch_duration_s=cfg.epoch_duration_s,
+            batch_size=cfg.batch_size,
+            n_salts=cfg.n_salts,
+        ).cache()
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            scheduled.unpersist()
+            return {"epoch": epoch, "scheduled": 0, "done": True}
+
+        results = fetch_batch(
+            scheduled, self.fetch_session_factory, max_retries=cfg.max_retries
+        ).cache()
+
+        ok = results.filter(F.col("status") == "ok")
+        verdicts = validate_payloads(ok.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")]))
+        ok_valid = ok.join(
+            verdicts.filter(F.col("valid")).select("image_id"), on="image_id", how="left_semi"
+        )
+        n_ok = ok.count()
+        _, n_images = self.images.merge_not_matched(
+            ok_valid.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")]), ["image_id"]
+        )
+
+        failed = results.filter(F.col("status") == "failed").select(
+            "url_sha1", "url", "domain", "domain_hash", "attempts",
+            F.lit(epoch).alias("failed_epoch"),
+        )
+        _, n_failed = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
+
+        # per-partition lineage: counters per domain_hash bucket
+        part_stats = {
+            int(r["domain_hash"]): {
+                "scheduled": int(r["scheduled"]),
+                "ok": int(r["ok"]),
+                "failed": int(r["failed"]),
+            }
+            for r in results.groupBy("domain_hash")
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+            )
+            .collect()
+        }
+        prev_lineage = self.url_seen.lineage()
+        prev_offsets = prev_lineage.get("frontier_offsets", {})
+        offsets = {
+            str(b): prev_offsets.get(str(b), 0) + s["scheduled"] for b, s in part_stats.items()
+        }
+        offsets = {**prev_offsets, **offsets}
+
+        # mark-at-attempt (K5): every attempted URL becomes seen, ok or not
+        bloom_version = epoch + 1
+        lineage = {
+            "epoch": epoch,
+            "partitions": {str(k): v for k, v in part_stats.items()},
+            "frontier_offsets": offsets,
+            "bloom_segment_version": bloom_version,
+            "counters": {
+                "scheduled": n_scheduled,
+                "ok": n_ok,
+                "images_inserted": n_images,
+                "failed": n_failed,
+            },
+        }
+        self.url_seen.merge_not_matched(
+            results.select("url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")),
+            ["url_sha1"],
+            lineage=lineage,
+        )
+
+        if cfg.use_bloom:
+            self.segments.build(self.url_seen.read(self.spark), bloom_version)
+
+        if cfg.expand_links:
+            self._expand_frontier(results, epoch)
+
+        scheduled.unpersist()
+        results.unpersist()
+        return {
+            "epoch": epoch,
+            "scheduled": n_scheduled,
+            "ok": n_ok,
+            "images_inserted": n_images,
+            "failed": n_failed,
+            "done": False,
+        }
+
+    def _expand_frontier(self, results: DataFrame, epoch: int) -> None:
+        """M5 — deterministic synthetic link discovery: fetched pages whose
+        key satisfies hash(key) % 5 == 0 yield one child URL on the same
+        domain. Spark-built-ins only; the parity oracle reproduces it with
+        hashlib (reference analog: monitor-discovered addresses feeding the
+        next crawl, SURVEY.md §3.3)."""
+        from ..functions import urls as U
+        from ..sources.seeds import EPOCH0_TS
+
+        child_key = F.sha1(F.concat(F.col("url_sha1"), F.lit("c1")))
+        children = (
+            results.filter(F.col("status") == "ok")
+            .filter(F.conv(F.substring("url_sha1", 1, 8), 16, 10).cast("long") % 5 == 0)
+            .select(
+                F.concat(
+                    F.lit("https://"), F.col("domain"), F.lit("/address/0x"),
+                    child_key, F.lit("#code"),
+                ).alias("url"),
+                (
+                    F.pmod(F.conv(F.substring(child_key, 1, 6), 16, 10).cast("long"), F.lit(1000))
+                    / 1000.0
+                ).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("domain"),
+            )
+        )
+        new_rows = children.select(
+            "url",
+            U.canonicalize_url(F.col("url")).alias("url_canon"),
+            F.lit(None).cast("string").alias("url_sha1"),
+            "domain",
+            F.lit(None).cast("int").alias("domain_hash"),
+            "priority",
+            "depth",
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempt"),
+            F.lit(EPOCH0_TS).cast("timestamp").alias("next_fetch_time"),
+            F.lit(epoch + 1).alias("discovered_epoch"),
+        ).withColumn("url_sha1", U.url_sha1(F.col("url_canon"))).withColumn(
+            "domain_hash", U.domain_hash(F.col("domain"), self.cfg.n_buckets)
+        )
+        self.frontier.append(new_rows.dropDuplicates(["url_sha1"]))
+
+    # ---------- run / resume ----------
+    def run(self, max_epochs: int = 100) -> list[dict]:
+        """Run epochs until the frontier drains or max_epochs; resumable —
+        picks up after the last epoch whose lineage committed."""
+        stats = []
+        epoch = self.last_completed_epoch() + 1
+        for _ in range(max_epochs):
+            s = self.run_epoch(epoch)
+            stats.append(s)
+            if s.get("done"):
+                break
+            epoch += 1
+        return stats

@@ -1,0 +1,115 @@
+"""URL canonicalization, keying, and domain extraction — pure Column exprs.
+
+Reference semantics being generalized (all row-at-a-time Python there):
+  - lowercase canonicalization of addresses at ingest
+    (reference ``contract_crawler.py:362``, ``:365``, ``:463``; the engine
+    canonicalizes uniformly, fixing reference quirk SURVEY.md §8 B6);
+  - URL -> key projection ``url.split('/')[-1].split('#')[0]``
+    (``contract_crawler.py:328``, ``:337``);
+  - address validity regex ``^0x[a-fA-F0-9]{40}$``
+    (``contract_crawler.py:367-369``).
+
+Everything here is a composition of built-in functions (``parse_url``,
+``regexp_*``, ``sort_array`` ...) so Catalyst keeps whole-stage codegen and
+can push derived filters into scans. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Validity filter for the reference's seed keys (contract addresses).
+ETH_ADDRESS_RE = r"^0x[a-fA-F0-9]{40}$"
+
+#: Minimal multi-label public suffixes so registrable-domain extraction is
+#: sane for the common cases. At production scale this would be the full
+#: public-suffix list as a broadcast dim table; the extraction operator is the
+#: same either way.
+_TWO_LABEL_SUFFIXES = (
+    "co.uk ac.uk gov.uk org.uk co.jp ne.jp or.jp com.au net.au org.au "
+    "com.br com.cn com.mx co.in co.kr com.tr com.ar co.za com.sg com.hk"
+).split()
+
+
+def is_valid_eth_address(col: Column | str) -> Column:
+    """P1 — address-validity predicate (contract_crawler.py:367-369)."""
+    return F.regexp_like(F.col(col) if isinstance(col, str) else col, F.lit(ETH_ADDRESS_RE))
+
+
+def url_strip_fragment(url: Column) -> Column:
+    """Fragment never reaches the server — drop it (canonicalization step)."""
+    return F.substring_index(url, "#", 1)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL: lowercase scheme+host, strip fragment & default port,
+    drop trailing '/' on bare hosts, sort query parameters.
+
+    Spark-first analog of the reference's ad-hoc ``.lower()`` calls
+    (contract_crawler.py:362) extended to full URLs. Built entirely from
+    ``parse_url`` + string builtins so it stays inside codegen.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = url_strip_fragment(u)
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))  # parse_url HOST excludes the port
+    # keep a non-default explicit port; drop :80 (http) / :443 (https)
+    port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1)
+    is_default = ((proto == "http") & (port == "80")) | ((proto == "https") & (port == "443"))
+    host = F.when((port != "") & ~is_default, F.concat(host, F.lit(":"), port)).otherwise(host)
+    path = F.parse_url(u, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    sorted_query = F.when(
+        query.isNull() | (query == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(query, "&")), "&")))
+    return F.concat(proto, F.lit("://"), host, path, sorted_query)
+
+
+def url_sha1(url_canon: Column | str) -> Column:
+    """F3 — URL-seen key: sha1 of the canonical URL (north_star contract).
+
+    Reference analog: md5 content hashing (solidity-naive-checksum.py:12-15)
+    and lowercase-address-as-key (contract_crawler.py:362).
+    """
+    return F.sha1(F.col(url_canon) if isinstance(url_canon, str) else url_canon)
+
+
+def registrable_domain(url_or_host: Column | str, is_host: bool = False) -> Column:
+    """Registrable domain of a URL (the frontier's partition dimension).
+
+    Spark analog of the reference's per-network dispatch
+    (contract_crawler.py:32-36, :425-447) generalized to arbitrary hosts.
+    """
+    c = F.col(url_or_host) if isinstance(url_or_host, str) else url_or_host
+    host = c if is_host else F.lower(F.parse_url(url_strip_fragment(F.trim(c)), F.lit("HOST")))
+    host = F.regexp_replace(host, r":\d+$", "")  # strip port
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    two_label_suffix = last2.isin(*_TWO_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(two_label_suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_hash(domain: Column | str, n_buckets: int) -> Column:
+    """Bucket key for frontier partitioning: pmod(xxhash64(domain), N).
+
+    Same bucketing drives the bloom-filter segmentation (SURVEY.md §4), so a
+    probe task touches exactly one segment.
+    """
+    c = F.col(domain) if isinstance(domain, str) else domain
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def url_key_projection(url: Column | str) -> Column:
+    """P6 — extract the trailing key from a URL:
+    ``url.split('/')[-1].split('#')[0]`` (contract_crawler.py:328, :337).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    return F.substring_index(F.element_at(F.split(c, "/"), -1), "#", 1)

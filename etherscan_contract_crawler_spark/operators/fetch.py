@@ -1,0 +1,110 @@
+"""S3/U3 — the fetch stage: ``mapInPandas`` over the scheduled batch.
+
+Reference: sequential ``download_source``/``download_url`` with a shared
+cookie-bearing session (contract_crawler.py:290-314, :336-356; session
+bootstrap :82-126) and retry-recursion ``retry=3, retry_delay=5``
+(:134, :147-153, :290). Spark-first: the scheduled batch is repartitioned by
+``domain_hash`` (politeness stays co-located per domain) and fetched inside a
+``mapInPandas`` iterator — the iterator-of-batches form runs the session
+prologue ONCE per task (U3), then streams Arrow batches through it.
+
+The fetcher is injected: production would be an HTTP client; the sandbox uses
+the deterministic synthetic fetcher (sources/synthetic.py) — same harness,
+one swapped callable (SURVEY.md §7 "no real network in the sandbox").
+
+Retry semantics follow the reference: retries happen INSIDE the attempt
+(immediate recursion, :147-153), so a URL's fate is settled within its epoch;
+mark-at-attempt checkpointing (K5, :488-490) then records it seen regardless
+of outcome. Hard failures are emitted with status='failed' for the
+dead-letter table (retry-as-data, W3, is available for the deferred mode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.synthetic import fetch_outcome, payload_for_key
+
+#: images table schema — exactly BASELINE.json input_hint.
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+
+FETCH_RESULT_DDL = (
+    "url_sha1 string, url string, url_canon string, domain string, domain_hash int, "
+    "priority double, depth int, scheduled_offset_s double, status string, attempts int, "
+    + IMAGES_DDL
+)
+
+FetchFn = Callable[[str, str, int], dict | None]
+"""(url_canon, url_sha1, attempt) -> payload dict (input_hint fields) or None."""
+
+
+def synthetic_fetch_session() -> FetchFn:
+    """Per-task 'session' for the deterministic fetcher (stands in for the
+    chromedriver/cookie bootstrap, contract_crawler.py:82-126)."""
+
+    def fetch(url_canon: str, key: str, attempt: int) -> dict | None:
+        if fetch_outcome(key, attempt) != "ok":
+            return None
+        p = payload_for_key(key)
+        p.pop("_pixels", None)
+        return p
+
+    return fetch
+
+
+def fetch_batch(
+    scheduled: DataFrame,
+    fetch_session_factory: Callable[[], FetchFn] = synthetic_fetch_session,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Run the fetch stage; returns one row per attempted URL (ok or failed)."""
+
+    cols = [
+        "url_sha1", "url", "url_canon", "domain", "domain_hash",
+        "priority", "depth", "scheduled_offset_s",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetch = fetch_session_factory()  # once per task (U3)
+        for pdf in batches:
+            out = {c: [] for c in (*cols, "status", "attempts", "image_id", "bytes",
+                                   "w", "h", "fmt", "caption", "phash")}
+            for row in pdf.itertuples(index=False):
+                payload, attempts = None, 0
+                for attempt in range(max_retries + 1):
+                    attempts = attempt + 1
+                    payload = fetch(row.url_canon, row.url_sha1, attempt)
+                    if payload is not None:
+                        break
+                for c in cols:
+                    out[c].append(getattr(row, c))
+                out["status"].append("ok" if payload is not None else "failed")
+                out["attempts"].append(attempts)
+                p = payload or {}
+                out["image_id"].append(p.get("image_id"))
+                out["bytes"].append(p.get("bytes"))
+                out["w"].append(p.get("w"))
+                out["h"].append(p.get("h"))
+                out["fmt"].append(p.get("fmt"))
+                out["caption"].append(p.get("caption"))
+                out["phash"].append(p.get("phash"))
+            res = pd.DataFrame(out)
+            # CRITICAL: with None present (failed rows) pandas coerces int
+            # lists to float64, which silently corrupts int64 phash values
+            # above 2^53. Pin nullable integer dtypes instead.
+            res["phash"] = pd.array(out["phash"], dtype="Int64")
+            res["w"] = pd.array(out["w"], dtype="Int32")
+            res["h"] = pd.array(out["h"], dtype="Int32")
+            yield res
+
+    # co-locate by bucket: bounds per-task batch size and keeps one bloom/
+    # politeness bucket per task; on a cluster this is the shuffle that
+    # spreads fetch I/O across executors.
+    return scheduled.select(*cols).repartition("domain_hash").mapInPandas(
+        run, schema=FETCH_RESULT_DDL
+    )

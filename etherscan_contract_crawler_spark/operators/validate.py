@@ -1,0 +1,72 @@
+"""U4 — payload validation: decode + PSNR + caption/phash checks.
+
+input_hint contract: per-row invariant vs the reference generator is
+decoded-pixel allclose — exact for lossless, PSNR >= 40 dB for lossy — plus
+caption equality. Implemented as ``mapInPandas`` (Arrow batches of binary
+payloads; numpy decode inside — no per-row Python at the Spark layer).
+
+The 'reference pixels' come from the deterministic generator keyed by
+image_id (sources/synthetic.py payload_for_key) — the sandbox stand-in for
+comparing against the reference crawler's stored payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.images import decode_image, phash64, psnr
+from ..sources.synthetic import payload_for_key
+
+VALIDATION_DDL = (
+    "image_id string, dims_ok boolean, fmt_ok boolean, caption_ok boolean, "
+    "phash_ok boolean, psnr_db double, pixels_ok boolean, valid boolean"
+)
+
+PSNR_GATE_DB = 40.0
+
+
+def validate_payloads(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, w, h, fmt, caption, phash) -> validation verdicts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "image_id", "dims_ok", "fmt_ok", "caption_ok", "phash_ok",
+                "psnr_db", "pixels_ok", "valid")}
+            for r in pdf.itertuples(index=False):
+                ref = payload_for_key(r.image_id)
+                try:
+                    px = decode_image(bytes(r.bytes))
+                    dims_ok = px.shape == (r.h, r.w, 3) and (r.w, r.h) == (ref["w"], ref["h"])
+                    p = psnr(ref["_pixels"], px) if px.shape == ref["_pixels"].shape else 0.0
+                    pixels_ok = (
+                        bool(np.array_equal(px, ref["_pixels"]))
+                        if r.fmt == "png"
+                        else bool(p >= PSNR_GATE_DB)
+                    )
+                    phash_ok = phash64(px) == r.phash if r.fmt == "png" else (
+                        r.phash == ref["phash"])
+                except Exception:
+                    dims_ok = pixels_ok = phash_ok = False
+                    p = 0.0
+                fmt_ok = r.fmt == ref["fmt"]
+                caption_ok = r.caption == ref["caption"]
+                rows["image_id"].append(r.image_id)
+                rows["dims_ok"].append(dims_ok)
+                rows["fmt_ok"].append(fmt_ok)
+                rows["caption_ok"].append(caption_ok)
+                rows["phash_ok"].append(phash_ok)
+                rows["psnr_db"].append(float(min(p, 99.0)))
+                rows["pixels_ok"].append(pixels_ok)
+                rows["valid"].append(
+                    dims_ok and fmt_ok and caption_ok and phash_ok and pixels_ok
+                )
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").mapInPandas(
+        run, schema=VALIDATION_DDL
+    )

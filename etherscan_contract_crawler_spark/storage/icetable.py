@@ -1,0 +1,148 @@
+"""SnapshotTable — Iceberg-semantics table commits over parquet.
+
+The north_star stores the frontier / url_seen / images tables in Iceberg with
+per-partition lineage in snapshot properties. The sandbox has no Iceberg
+runtime jars, so this module provides the same *semantics* behind a thin
+interface (SURVEY.md §7 M4 "graceful parquet+manifest fallback"):
+
+  * atomic snapshot commits (manifest JSON + atomic pointer swap via rename);
+  * append / MERGE-not-matched (idempotent writes, reference analog: the
+    skip-if-exists sinks, contract_crawler.py:242-248, :274-287, :378-379);
+  * time travel (read any snapshot id — Iceberg ``VERSION AS OF``);
+  * lineage properties per snapshot (frontier offsets, bloom segment
+    versions, fetch counters — the resumability contract).
+
+On a cluster with Iceberg jars, every call here maps 1:1 to
+``df.writeTo(tbl).append()`` / ``MERGE INTO`` / snapshot properties; the
+engine only touches this interface.
+
+Crash safety: data files are written first, the manifest next, and the
+``_current`` pointer last via ``os.replace`` (atomic on POSIX). A crash
+between phases leaves orphan data files but never a live snapshot that
+references missing data — identical to Iceberg's commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        self._snap_dir = os.path.join(path, "snapshots")
+        self._data_dir = os.path.join(path, "data")
+        self._current_file = os.path.join(path, "_current")
+
+    # ---------- metadata ----------
+    def exists(self) -> bool:
+        return os.path.exists(self._current_file)
+
+    def current_snapshot_id(self) -> int:
+        with open(self._current_file) as f:
+            return int(f.read().strip())
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self._snap_dir, f"s{sid:08d}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if version is None else version
+        with open(self._manifest_path(sid)) as f:
+            return json.load(f)
+
+    def lineage(self, version: int | None = None) -> dict:
+        return self.manifest(version).get("lineage", {})
+
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        return sorted(int(f[1:9]) for f in os.listdir(self._snap_dir) if f.endswith(".json"))
+
+    # ---------- commits ----------
+    def create(self, schema_ddl: str) -> None:
+        """Create an empty table (snapshot 0) with a pinned schema."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+        self._commit(0, parent=None, dirs=[], schema_ddl=schema_ddl, lineage={}, op="create")
+
+    def _commit(self, sid, parent, dirs, schema_ddl, lineage, op) -> int:
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "data_dirs": dirs,  # cumulative list -> O(1) reads
+            "schema_ddl": schema_ddl,
+            "lineage": lineage,
+            "op": op,
+        }
+        tmp = self._manifest_path(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(sid))
+        tmp2 = self._current_file + ".tmp"
+        with open(tmp2, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp2, self._current_file)
+        return sid
+
+    def _write_data(self, df: DataFrame, sid: int) -> str:
+        d = os.path.join(self._data_dir, f"s{sid:08d}")
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        d = self._write_data(df, sid)
+        merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        return self._commit(
+            sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"], merged_lineage, "append"
+        )
+
+    def merge_not_matched(
+        self, df: DataFrame, keys: list[str], lineage: dict | None = None
+    ) -> tuple[int, int]:
+        """``MERGE INTO t USING df WHEN NOT MATCHED THEN INSERT`` on ``keys``.
+
+        Idempotent — re-running the same epoch inserts nothing new (the
+        resumability guarantee). Returns (snapshot_id, rows_inserted).
+        """
+        spark = df.sparkSession
+        incoming = df.dropDuplicates(keys)
+        existing = self.read(spark).select(*keys)
+        new_rows = incoming.join(existing, on=keys, how="left_anti")
+        # two passes over new_rows (count + write); cache keeps it one compute
+        new_rows = new_rows.cache()
+        n = new_rows.count()
+        if n == 0:
+            new_rows.unpersist()
+            prev = self.manifest()
+            sid = self._commit(
+                prev["snapshot_id"] + 1,
+                prev["snapshot_id"],
+                prev["data_dirs"],
+                prev["schema_ddl"],
+                {**prev.get("lineage", {}), **(lineage or {})},
+                "merge-noop",
+            )
+            return sid, 0
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        d = self._write_data(new_rows, sid)
+        new_rows.unpersist()
+        merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        return (
+            self._commit(
+                sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"], merged_lineage, "merge"
+            ),
+            n,
+        )
+
+    # ---------- reads ----------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        if not m["data_dirs"]:
+            return spark.createDataFrame([], m["schema_ddl"])
+        return spark.read.schema(m["schema_ddl"]).parquet(*m["data_dirs"])
