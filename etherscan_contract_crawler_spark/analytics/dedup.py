@@ -1,0 +1,184 @@
+"""Deduplication operators over a documents table.
+
+Reference analogs: exact dedup = find-duplicates.py:7-24 (group by checksum,
+keep groups >1); content normalization = solidity-naive-checksum.py:6-15.
+Near-dup operators (shingle Jaccard, MinHash+LSH, SimHash) are the web-scale
+generalizations — all expressed with built-in functions so Catalyst keeps
+whole-stage codegen; the only shuffles are the groupBy/join on derived keys.
+
+Design notes at 100 TB:
+  * shingling explodes rows ~L× — the DISTINCT before the self-join is the
+    map-side combine that keeps the shuffle bounded;
+  * the inverted-index join (pair generation) is the classic candidate-pair
+    plan: join on shingle, count common shingles per pair, then filter by
+    exact Jaccard — no O(n^2) cross join anywhere;
+  * MinHash+LSH replaces the shingle join with a band-bucket join whose key
+    cardinality is tunable (bands × rows/band), the standard trade of recall
+    for shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_N = 12  # number of hash functions
+LSH_BANDS = 4  # bands of MINHASH_N // LSH_BANDS rows each
+
+
+def normalized_words(text_col: str = "text"):
+    """lowercase, collapse whitespace, split to words (F4 analog)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+
+
+def _hash60(col) -> F.Column:
+    """Deterministic 60-bit integer hash shared with the DuckDB oracle:
+    first 15 hex chars of md5, base-16 -> bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"):
+    """A1 — find-duplicates semantics: checksum groups with >1 member."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("checksum"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(key_col).alias("keep_id"),
+            F.max(key_col).alias("max_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def shingle_df(docs: DataFrame, n: int = 3, key_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    words = normalized_words()
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    sh = shingle_df(docs, n, key_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = MINHASH_N, key_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig array<long>) — sig[j] = min over shingles of
+    hash60(j || '|' || shingle)."""
+    sh = shingle_df(docs, key_col=key_col)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    _hash60(F.concat(j.cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+                ),
+            )
+        ).alias("jh"),
+    )
+    return (
+        hashed.groupBy("doc_id", F.col("jh.j").alias("j"))
+        .agg(F.min("jh.h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("pairs"))
+        .select("doc_id", F.transform("pairs", lambda p: p["mh"]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_N,
+    bands: int = LSH_BANDS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH: docs sharing at least
+    one identical band land in the same bucket. Output: (doc_a, doc_b,
+    n_bands_shared). The shuffle key is (band_idx, band_hash) — cardinality
+    is controlled by band width, the scale knob."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, key_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            )
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over normalized words: bit b of the hash is 1 iff the
+    sum over tokens of (+1 if bit b of hash60(token) else -1) is positive."""
+    words = normalized_words()
+    tok = docs.select(
+        F.col(key_col).alias("doc_id"), F.explode(words).alias("token")
+    ).withColumn("h", _hash60(F.col("token")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (one broadcast join +
+per-partition top-k); the LSH-bucketed variant is the scale path — random
+hyperplane signatures shrink the candidate set so the full cross product
+never materializes. Dot products use higher-order functions (zip_with +
+aggregate) — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Queries are broadcast (small side); the scan
+    over the corpus is embarrassingly parallel; the per-query top-k is a
+    window over (query_id) — bounded by |queries| * |corpus partition|.
+
+    Deterministic: scores rounded before ranking, ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH. Each vector gets an n_planes-bit
+    signature (sign of dot with pseudo-random planes derived deterministically
+    from (seed, plane, dim) via xxhash64 — no stored plane matrix, any worker
+    regenerates it); candidates = same-bucket pairs only. Approximate —
+    recall depends on n_planes; the exact operator above is the oracle."""
+
+    def signature(df, vid):
+        dims = F.size(F.col(vec_col))
+        # plane p component d = (xxhash64(seed,p,d) % 1001 - 500) / 500.0
+        def plane_dot(p):
+            return F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.transform(
+                        F.sequence(F.lit(0), dims - 1),
+                        lambda d: (
+                            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(1001)) - 500
+                        ).cast("double")
+                        / 500.0,
+                    ),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        sig = None
+        for p in range(n_planes):
+            bit = F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return df.select(F.col(id_col).alias(vid), F.col(vec_col), sig.alias("bucket"))
+
+    q = signature(queries, "query_id").withColumnRenamed(vec_col, "qv")
+    c = signature(embeddings, "neighbor_id").withColumnRenamed(vec_col, "cv")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -1,0 +1,90 @@
+"""Text analysis operators over a documents table — all built-in functions.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting. The constants here are shared with the DuckDB
+oracle SQL (generated from the same lists) so both sides compute the same
+deterministic answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_words
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sie"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "que", "por"],
+}
+
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[.,!?;:]"
+
+
+def lang_hits(text_col: str = "text"):
+    """Per-language distinct stopword hit counts."""
+    words = normalized_words(text_col)
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+
+
+def lang_id(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """argmax language by stopword hits; ties broken by language name asc;
+    'unknown' when nothing hits."""
+    hits = lang_hits(text_col)
+    best = F.lit("unknown")
+    best_n = F.lit(0)
+    for lang in sorted(STOPWORDS, reverse=True):  # reverse so earlier name wins ties
+        cond = hits[lang] >= F.greatest(best_n, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        best.alias("lang_guess"),
+        best_n.cast("int").alias("hits"),
+    )
+
+
+def token_count(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword features -> a [0,1] quality score.
+
+    score = 0.4*min(len/500,1) + 0.3*stopword_ratio_capped + 0.3*(1-punct_ratio)
+    (deterministic, shared formula with the SQL oracle)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_RE))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    en_hits = lang_hits(text_col)["en"]
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_ratio = F.least(en_hits / 5.0, F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    score = F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6)
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalization-stable document fingerprint: md5 of
+    lower(collapse_whitespace(text)) — the F4+F3 chain
+    (solidity-naive-checksum.py:6-15) applied to documents."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(key_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )

@@ -108,7 +108,23 @@ class CrawlEngine:
         frontier_df = self.frontier.read(self.spark)
         seen = self.url_seen.read(self.spark)
         store = self.segments if self.cfg.use_bloom else None
-        return unseen_with_bloom(frontier_df, seen, store, self._bloom_version())
+        # frontier appends (expansion) can re-discover a known URL under a new
+        # priority — collapse duplicates with the same max-priority/min-url
+        # rule as ingest (hash agg, map-side combinable; same shuffle key as
+        # the anti-join so AQE reuses the exchange)
+        deduped = frontier_df.groupBy("url_sha1").agg(
+            F.min("url").alias("url"),
+            F.min("url_canon").alias("url_canon"),
+            F.min("domain").alias("domain"),
+            F.min("domain_hash").alias("domain_hash"),
+            F.max("priority").alias("priority"),
+            F.min("depth").alias("depth"),
+            F.min("state").alias("state"),
+            F.min("attempt").alias("attempt"),
+            F.min("next_fetch_time").alias("next_fetch_time"),
+            F.min("discovered_epoch").alias("discovered_epoch"),
+        )
+        return unseen_with_bloom(deduped, seen, store, self._bloom_version())
 
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
@@ -124,6 +140,15 @@ class CrawlEngine:
         if n_scheduled == 0:
             scheduled.unpersist()
             return {"epoch": epoch, "scheduled": 0, "done": True}
+
+        order: list[str] | None = None
+        if self.cfg.extra.get("record_order"):  # parity harness (tests only)
+            from ..operators.politeness import canonical_order
+
+            order = [
+                r.url_sha1
+                for r in scheduled.orderBy(*canonical_order()).select("url_sha1").collect()
+            ]
 
         results = fetch_batch(
             scheduled, self.fetch_session_factory, max_retries=cfg.max_retries
@@ -195,7 +220,7 @@ class CrawlEngine:
 
         scheduled.unpersist()
         results.unpersist()
-        return {
+        stats = {
             "epoch": epoch,
             "scheduled": n_scheduled,
             "ok": n_ok,
@@ -203,6 +228,9 @@ class CrawlEngine:
             "failed": n_failed,
             "done": False,
         }
+        if order is not None:
+            stats["order"] = order
+        return stats
 
     def _expand_frontier(self, results: DataFrame, epoch: int) -> None:
         """M5 — deterministic synthetic link discovery: fetched pages whose

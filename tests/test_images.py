@@ -1,0 +1,61 @@
+"""Codec + phash unit/property tests (no Spark — pure numpy layer)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etherscan_contract_crawler_spark.functions.images import (
+    decode_image,
+    decode_png,
+    decode_qjpg,
+    encode_png,
+    encode_qjpg,
+    hamming64,
+    phash64,
+    psnr,
+)
+from etherscan_contract_crawler_spark.operators.validate import PSNR_GATE_DB
+
+
+def _img(seed, h=32, w=48):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_exact():
+    a = _img(1)
+    assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+def test_qjpg_lossy_over_gate():
+    a = _img(2, 64, 64)
+    d = decode_qjpg(encode_qjpg(a))
+    assert psnr(a, d) >= PSNR_GATE_DB
+
+
+def test_decode_dispatch():
+    a = _img(3)
+    assert np.array_equal(decode_image(encode_png(a)), a)
+    assert decode_image(encode_qjpg(a)).shape == a.shape
+
+
+@given(st.integers(0, 10_000), st.sampled_from([8, 17, 32, 64]), st.sampled_from([8, 31, 64]))
+@settings(max_examples=20, deadline=None)
+def test_png_roundtrip_property(seed, h, w):
+    a = _img(seed, h, w)
+    assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+def test_phash_deterministic_and_robust():
+    a = _img(4, 64, 64)
+    assert phash64(a) == phash64(a.copy())
+    # lossy roundtrip should barely move the hash
+    d = decode_qjpg(encode_qjpg(a))
+    assert hamming64(phash64(a), phash64(d)) <= 4
+    # a different image should be far
+    b = _img(5, 64, 64)
+    assert hamming64(phash64(a), phash64(b)) > 8
+
+
+def test_phash_int64_range():
+    v = phash64(_img(6))
+    assert -(2**63) <= v < 2**63

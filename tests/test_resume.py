@@ -1,0 +1,73 @@
+"""Resumability: mid-epoch crash replay and cross-run resume (SURVEY.md §5.5)."""
+
+from pyspark.sql import functions as F
+
+from etherscan_contract_crawler_spark.engine.crawl import CrawlEngine, EngineConfig
+from etherscan_contract_crawler_spark.operators.fetch import IMAGES_DDL, fetch_batch
+from etherscan_contract_crawler_spark.operators.politeness import schedule_epoch
+
+
+def _engine(spark, tmp_path, name, **kw):
+    return CrawlEngine(
+        spark, EngineConfig(warehouse=str(tmp_path / name), n_buckets=16, **kw)
+    )
+
+
+def test_resume_after_epochs(spark, tiny_seeds_df, tmp_path):
+    """Run 2 epochs, 'restart' (new engine object), finish; compare with an
+    uninterrupted run."""
+    a = _engine(spark, tmp_path, "a", epoch_duration_s=10, batch_size=120)
+    a.bootstrap(tiny_seeds_df)
+    a.run_epoch(0)
+    a.run_epoch(1)
+    a2 = _engine(spark, tmp_path, "a", epoch_duration_s=10, batch_size=120)
+    assert a2.last_completed_epoch() == 1
+    a2.run(max_epochs=20)
+
+    b = _engine(spark, tmp_path, "b", epoch_duration_s=10, batch_size=120)
+    b.bootstrap(tiny_seeds_df)
+    b.run(max_epochs=20)
+
+    for t in ("url_seen", "images", "dead_letter"):
+        ka = {tuple(r) for r in getattr(a2, t).read(spark).drop("seen_epoch", "failed_epoch").collect()}
+        kb = {tuple(r) for r in getattr(b, t).read(spark).drop("seen_epoch", "failed_epoch").collect()}
+        assert ka == kb, t
+
+
+def test_mid_epoch_crash_replay_is_idempotent(spark, tiny_seeds_df, tmp_path):
+    """Simulate a crash after the images merge but before the url_seen commit:
+    replaying the epoch must not duplicate anything."""
+    eng = _engine(spark, tmp_path, "c", epoch_duration_s=10, batch_size=120)
+    eng.bootstrap(tiny_seeds_df)
+    eng.run_epoch(0)
+
+    # partial epoch 1: do only the images merge, then "crash"
+    scheduled = schedule_epoch(eng.pending(), epoch_duration_s=10, batch_size=120)
+    results = fetch_batch(scheduled)
+    ok = results.filter(F.col("status") == "ok")
+    cols = [c.split()[0] for c in IMAGES_DDL.split(", ")]
+    eng.images.merge_not_matched(ok.select(*cols), ["image_id"])
+    images_after_partial = eng.images.read(spark).count()
+
+    # restart: lineage still says epoch 0 completed -> epoch 1 replays
+    eng2 = _engine(spark, tmp_path, "c", epoch_duration_s=10, batch_size=120)
+    assert eng2.last_completed_epoch() == 0
+    s = eng2.run_epoch(1)
+    assert s["scheduled"] > 0
+    # replay inserted nothing new into images (idempotent merge)
+    assert eng2.images.read(spark).count() == images_after_partial
+    # and images have no duplicate ids
+    total = eng2.images.read(spark).count()
+    distinct = eng2.images.read(spark).select("image_id").distinct().count()
+    assert total == distinct
+
+
+def test_frontier_offsets_monotonic(spark, tiny_seeds_df, tmp_path):
+    eng = _engine(spark, tmp_path, "d", epoch_duration_s=10, batch_size=100)
+    eng.bootstrap(tiny_seeds_df)
+    eng.run_epoch(0)
+    off0 = eng.url_seen.lineage()["frontier_offsets"]
+    eng.run_epoch(1)
+    off1 = eng.url_seen.lineage()["frontier_offsets"]
+    assert sum(off1.values()) >= sum(off0.values())
+    assert sum(off0.values()) == 100  # batch_size rows scheduled in epoch 0

@@ -1,0 +1,80 @@
+"""URL canonicalization / keying — Spark exprs vs the pure-Python oracle."""
+
+from pyspark.sql import functions as F
+
+from etherscan_contract_crawler_spark.functions import urls as U
+from etherscan_contract_crawler_spark.oracle.reference_oracle import (
+    canonicalize_url_py,
+    registrable_domain_py,
+    sha1_py,
+    url_key_py,
+)
+
+TRICKY = [
+    "https://SITE00001.Example.COM/address/0xAbCd#code",
+    "https://site.example.com/a/b?z=1&a=2&m=0",
+    "http://host.example.org:80/path#frag",
+    "https://host.example.org:443/path",
+    "https://host.example.org:8443/path?b=2&a=1#x",
+    "https://example.co.uk/address/0x1234",
+    "https://sub.deep.example.co.uk/x",
+    "  https://padded.example.net/x  ",
+    "https://bare.example.io",
+    "https://site00003.example.net/address/0xff#code2",
+]
+
+
+def test_canonicalize_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY], "url string")
+    got = df.select(U.canonicalize_url("url").alias("c")).collect()
+    for row, u in zip(got, TRICKY):
+        assert row.c == canonicalize_url_py(u), u
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY], "url string")
+    twice = df.select(
+        U.canonicalize_url("url").alias("c1"),
+        U.canonicalize_url(U.canonicalize_url("url")).alias("c2"),
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2
+
+
+def test_registrable_domain_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY], "url string")
+    got = df.select(U.registrable_domain("url").alias("d")).collect()
+    for row, u in zip(got, TRICKY):
+        assert row.d == registrable_domain_py(u), u
+
+
+def test_url_sha1_matches_hashlib(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY], "url string")
+    got = df.select(
+        U.url_sha1(U.canonicalize_url("url")).alias("s"),
+        U.canonicalize_url("url").alias("c"),
+    ).collect()
+    for r in got:
+        assert r.s == sha1_py(r.c)
+
+
+def test_url_key_projection(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY], "url string")
+    got = df.select(U.url_key_projection("url").alias("k")).collect()
+    for row, u in zip(got, TRICKY):
+        assert row.k == url_key_py(u), u
+
+
+def test_validity_filter(spark):
+    rows = [
+        ("0x" + "a" * 40, True),
+        ("0x" + "A" * 40, True),
+        ("0x" + "g" * 40, False),  # non-hex
+        ("0x" + "a" * 39, False),  # short
+        ("x" + "a" * 40, False),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "addr string")
+    got = df.select(U.is_valid_eth_address("addr").alias("v")).collect()
+    for r, (_, expect) in zip(got, rows):
+        assert r.v == expect
