@@ -1,0 +1,100 @@
+"""Crawl-throughput bench job, runnable at a chosen parallelism level.
+
+Measures the north-rule metric — URLs fetched+deduped per second through
+whole epochs (schedule -> fetch -> validate -> commit) — on a deterministic
+synthetic frontier. Run as a subprocess per parallelism level so each run
+gets its own JVM (``local[N]`` is fixed at session creation):
+
+    python -m etherscan_contract_crawler_spark.bench_crawl \
+        --cpus 8 --seeds /tmp/bench_seeds.parquet --epochs 2 --fetcher null
+
+``--fetcher null`` skips payload synthesis (the bench tier simulates the
+fetch per FIXTURES.md §8 — network cost is out of scope in the sandbox);
+``--fetcher synthetic`` includes full image encode/validate.
+
+Prints one JSON line: {"cpus": N, "urls": n, "wall_s": s, "urls_per_sec": r}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+
+
+def null_fetch_session():
+    """Fetch stand-in that only settles URL fate (ok/failed) — no payload."""
+    from .sources.synthetic import fetch_outcome
+
+    def fetch(url_canon: str, key: str, attempt: int):
+        if fetch_outcome(key, attempt) != "ok":
+            return None
+        return {
+            "image_id": key,
+            "bytes": b"",
+            "w": 0,
+            "h": 0,
+            "fmt": "none",
+            "caption": "",
+            "phash": 0,
+        }
+
+    return fetch
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--epoch-duration", type=int, default=600)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--fetcher", choices=["null", "synthetic"], default="null")
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args()
+
+    from .engine.crawl import CrawlEngine, EngineConfig
+    from .operators.fetch import synthetic_fetch_session
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"bench-crawl-{args.cpus}", cpus=args.cpus)
+    seeds = spark.read.parquet(args.seeds)
+    warehouse = tempfile.mkdtemp(prefix=f"bench_wh_{args.cpus}_")
+    # validation is part of the pipeline only when payloads exist
+    fetcher = synthetic_fetch_session if args.fetcher == "synthetic" else null_fetch_session
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(
+            warehouse=warehouse,
+            n_buckets=args.n_buckets,
+            epoch_duration_s=args.epoch_duration,
+            batch_size=args.batch_size,
+            use_bloom=not args.no_bloom,
+            extra={"skip_validation": args.fetcher == "null"},
+        ),
+        fetch_session_factory=fetcher,
+    )
+    eng.bootstrap(seeds)
+    t0 = time.time()
+    total = 0
+    for s in eng.run(max_epochs=args.epochs):
+        total += s.get("scheduled", 0)
+    wall = time.time() - t0
+    shutil.rmtree(warehouse, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "urls": total,
+                "wall_s": round(wall, 2),
+                "urls_per_sec": round(total / wall, 1) if wall > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

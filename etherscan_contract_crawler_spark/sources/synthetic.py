@@ -137,6 +137,51 @@ def sha1_hex(s: str) -> str:
     return hashlib.sha1(s.encode()).hexdigest()
 
 
+def gen_seed_parquet(
+    path: str,
+    n: int,
+    n_domains: int = 5000,
+    seed: int = 42,
+    dup_rate: float = 0.10,
+) -> None:
+    """Vectorized bulk seed generator for the bench tier (FIXTURES.md §8):
+    same distribution as gen_seed_rows (Zipf-hot domains, ~10% duplicate
+    URLs) generated with numpy array ops and written as one parquet file.
+    Deterministic for a given (n, n_domains, seed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    weights = zipf_weights(n_domains)
+    dom_idx = rng.choice(n_domains, size=n, p=weights)
+    addrs = rng.integers(0, 256, (n, 20), dtype=np.uint8)
+    hexs = np.array([a.tobytes().hex() for a in addrs])
+    domains = np.array([domain_name(i) for i in range(n_domains)])
+    urls = np.char.add(
+        np.char.add(
+            np.char.add("https://", domains[dom_idx]), "/address/0x"
+        ),
+        np.char.add(hexs, "#code"),
+    )
+    # duplicates: overwrite a suffix sample with earlier rows
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        src = rng.integers(0, n, n_dup)
+        dst = rng.integers(0, n, n_dup)
+        urls[dst] = urls[src]
+    priority = np.round(rng.random(n), 9)
+    block = rng.integers(1, 10_000_000, n)
+    tbl = pa.table(
+        {
+            "block": pa.array(block, pa.int64()),
+            "tx_hash": pa.array([None] * n, pa.string()),
+            "url": pa.array(urls.tolist(), pa.string()),
+            "priority": pa.array(priority, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
 def gen_listing_pages(n_pages: int = 20, rows_per_page: int = 25, seed: int = 7) -> list[dict]:
     """FIXTURES.md §6 — listing-page fixture mirroring the header-zipped rows
     the reference scrapes (contract_crawler.py:144-145, pages 1..20 :317)."""
