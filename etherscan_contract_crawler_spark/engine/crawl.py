@@ -135,11 +135,7 @@ class CrawlEngine:
             epoch_duration_s=cfg.epoch_duration_s,
             batch_size=cfg.batch_size,
             n_salts=cfg.n_salts,
-        ).cache()
-        n_scheduled = scheduled.count()
-        if n_scheduled == 0:
-            scheduled.unpersist()
-            return {"epoch": epoch, "scheduled": 0, "done": True}
+        )
 
         order: list[str] | None = None
         if self.cfg.extra.get("record_order"):  # parity harness (tests only)
@@ -154,12 +150,34 @@ class CrawlEngine:
             scheduled, self.fetch_session_factory, max_retries=cfg.max_retries
         ).cache()
 
-        ok = results.filter(F.col("status") == "ok")
-        verdicts = validate_payloads(ok.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")]))
-        ok_valid = ok.join(
-            verdicts.filter(F.col("valid")).select("image_id"), on="image_id", how="left_semi"
+        # ONE stats job for scheduled/ok/failed totals + per-partition lineage
+        stat_rows = (
+            results.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
         )
-        n_ok = ok.count()
+        n_scheduled = sum(r["n"] for r in stat_rows)
+        if n_scheduled == 0:
+            results.unpersist()
+            return {"epoch": epoch, "scheduled": 0, "done": True}
+        n_ok = sum(r["n"] for r in stat_rows if r["status"] == "ok")
+        n_failed = n_scheduled - n_ok
+        part_stats: dict[int, dict] = {}
+        for r in stat_rows:
+            p = part_stats.setdefault(
+                int(r["domain_hash"]), {"scheduled": 0, "ok": 0, "failed": 0}
+            )
+            p["scheduled"] += int(r["n"])
+            p[r["status"] if r["status"] in ("ok", "failed") else "failed"] += int(r["n"])
+
+        ok = results.filter(F.col("status") == "ok")
+        if self.cfg.extra.get("skip_validation"):  # bench tier: fetch simulated
+            ok_valid = ok
+        else:
+            verdicts = validate_payloads(
+                ok.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")])
+            )
+            ok_valid = ok.join(
+                verdicts.filter(F.col("valid")).select("image_id"), on="image_id", how="left_semi"
+            )
         _, n_images = self.images.merge_not_matched(
             ok_valid.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")]), ["image_id"]
         )
@@ -168,23 +186,7 @@ class CrawlEngine:
             "url_sha1", "url", "domain", "domain_hash", "attempts",
             F.lit(epoch).alias("failed_epoch"),
         )
-        _, n_failed = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
-
-        # per-partition lineage: counters per domain_hash bucket
-        part_stats = {
-            int(r["domain_hash"]): {
-                "scheduled": int(r["scheduled"]),
-                "ok": int(r["ok"]),
-                "failed": int(r["failed"]),
-            }
-            for r in results.groupBy("domain_hash")
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
-            )
-            .collect()
-        }
+        _, n_failed_new = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
         prev_lineage = self.url_seen.lineage()
         prev_offsets = prev_lineage.get("frontier_offsets", {})
         offsets = {
@@ -218,7 +220,6 @@ class CrawlEngine:
         if cfg.expand_links:
             self._expand_frontier(results, epoch)
 
-        scheduled.unpersist()
         results.unpersist()
         stats = {
             "epoch": epoch,

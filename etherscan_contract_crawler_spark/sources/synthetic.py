@@ -19,7 +19,9 @@ from ..functions.images import encode_image, phash64
 
 _NOUNS = "tower river falcon lantern meadow harbor circuit glacier ember prairie".split()
 _VERBS = "glows drifts hums spins folds rises echoes settles turns waits".split()
-_TLDS = [".example.com", ".example.org", ".example.net", ".co.uk.example", ".test.io"]
+#: suffixes chosen so each generated host IS its own registrable domain
+#: (site00001.co.uk -> registrable site00001.co.uk, etc.)
+_TLDS = [".com", ".org", ".net", ".co.uk", ".io"]
 
 #: deterministic fetch-failure knob: sha1-int % FAIL_MOD == 0 -> transient
 #: failure on first attempts (exercises retry W3 / dead-letter).
@@ -33,7 +35,7 @@ def zipf_weights(n: int, s: float = 1.2) -> np.ndarray:
 
 
 def domain_name(i: int) -> str:
-    return f"site{i:05d}{_TLDS[i % len(_TLDS)]}".replace(".co.uk.example", ".example.co.uk")
+    return f"site{i:05d}{_TLDS[i % len(_TLDS)]}"
 
 
 def gen_seed_rows(

@@ -30,6 +30,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(d, f)).num_rows
+    return total
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -87,15 +97,17 @@ class SnapshotTable:
         os.replace(tmp2, self._current_file)
         return sid
 
-    def _write_data(self, df: DataFrame, sid: int) -> str:
+    def _write_data(self, df: DataFrame, sid: int) -> tuple[str, int]:
+        """Write a snapshot's data dir; row count comes from parquet footers
+        (driver-side metadata scan — avoids a separate Spark count job)."""
         d = os.path.join(self._data_dir, f"s{sid:08d}")
         df.write.mode("overwrite").parquet(d)
-        return d
+        return d, _parquet_rows(d)
 
     def append(self, df: DataFrame, lineage: dict | None = None) -> int:
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
-        d = self._write_data(df, sid)
+        d, _ = self._write_data(df, sid)
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         return self._commit(
             sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"], merged_lineage, "append"
@@ -113,29 +125,26 @@ class SnapshotTable:
         incoming = df.dropDuplicates(keys)
         existing = self.read(spark).select(*keys)
         new_rows = incoming.join(existing, on=keys, how="left_anti")
-        # two passes over new_rows (count + write); cache keeps it one compute
-        new_rows = new_rows.cache()
-        n = new_rows.count()
-        if n == 0:
-            new_rows.unpersist()
-            prev = self.manifest()
-            sid = self._commit(
-                prev["snapshot_id"] + 1,
-                prev["snapshot_id"],
-                prev["data_dirs"],
-                prev["schema_ddl"],
-                {**prev.get("lineage", {}), **(lineage or {})},
-                "merge-noop",
-            )
-            return sid, 0
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
-        d = self._write_data(new_rows, sid)
-        new_rows.unpersist()
+        # single job: write, then count from parquet footers (no cache needed)
+        d, n = self._write_data(new_rows, sid)
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            return (
+                self._commit(
+                    sid, prev["snapshot_id"], prev["data_dirs"], prev["schema_ddl"],
+                    merged_lineage, "merge-noop",
+                ),
+                0,
+            )
         return (
             self._commit(
-                sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"], merged_lineage, "merge"
+                sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"],
+                merged_lineage, "merge",
             ),
             n,
         )
