@@ -1,0 +1,110 @@
+"""Per-round benchmark (driver contract).
+
+Two parts:
+  1. Headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR (default
+     sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query seconds, fully
+     materialized via the noop sink (so column pruning can't skip work).
+  2. Crawl-engine scaling evidence (BASELINE.md protocol): the same epoch
+     pipeline (schedule -> fetch(synthetic payloads) -> validate -> commit)
+     on the same deterministic frontier at local[8] and local[32] in separate
+     JVMs; reports URLs/s at both and efficiency = (thr32/thr8)/4.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "crawl_scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+HEADLINE = [
+    "seed_ingest_dedup",
+    "crawl_schedule_epoch",
+    "politeness_slots",
+    "content_checksum",
+    "group_having_dups",
+    "broadcast_lookup_join",
+    "seq_numbering",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_lang_id",
+]
+
+BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_400k.parquet"
+SCALING_ARGS = ["--epochs", "2", "--batch-size", "80000", "--epoch-duration", "600",
+                "--fetcher", "synthetic", "--seeds", BENCH_SEEDS]
+
+
+def run_queries() -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from etherscan_contract_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    qs = entry_mod.queries()
+    # warm the session so q1 doesn't pay JVM startup
+    spark.range(1000).count()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    spark.stop()
+    return out
+
+
+def run_scaling() -> dict:
+    if not os.path.exists(BENCH_SEEDS):
+        from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
+
+        gen_seed_parquet(BENCH_SEEDS, 400_000, n_domains=6000)
+    res = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
+             "--cpus", str(cpus), *SCALING_ARGS],
+            capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(__file__) or ".",
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        res[f"local{cpus}"] = json.loads(line[-1]) if line else {"error": p.stderr[-500:]}
+    try:
+        thr8 = res["local8"]["urls_per_sec"]
+        thr32 = res["local32"]["urls_per_sec"]
+        res["scaling_efficiency_n_to_4n"] = round((thr32 / thr8) / 4.0, 3)
+    except Exception:
+        pass
+    return res
+
+
+def main():
+    t0 = time.time()
+    queries = run_queries()
+    crawl = {} if SKIP_SCALING else run_scaling()
+    total = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+                "crawl_scaling": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
     # filter type 0 (None) per scanline
     raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 1)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -118,7 +118,7 @@ def encode_qjpg(arr: np.ndarray, q: int = QJPG_Q) -> bytes:
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     quant = ((arr.astype(np.uint16) + q // 2) // q).astype(np.uint8)  # values 0..ceil(255/q)
-    body = zlib.compress(quant.tobytes(), 6)
+    body = zlib.compress(quant.tobytes(), 1)
     return _QJPG_MAGIC + struct.pack(">HHB", w, h, q) + body
 
 

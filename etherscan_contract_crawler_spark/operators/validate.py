@@ -38,7 +38,7 @@ def validate_payloads(images: DataFrame) -> DataFrame:
                 "image_id", "dims_ok", "fmt_ok", "caption_ok", "phash_ok",
                 "psnr_db", "pixels_ok", "valid")}
             for r in pdf.itertuples(index=False):
-                ref = payload_for_key(r.image_id)
+                ref = payload_for_key(r.image_id, encode=False)
                 try:
                     px = decode_image(bytes(r.bytes))
                     dims_ok = px.shape == (r.h, r.w, 3) and (r.w, r.h) == (ref["w"], ref["h"])

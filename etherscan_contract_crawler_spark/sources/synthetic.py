@@ -93,11 +93,13 @@ def write_seed_csv(rows: list[dict], path: str) -> None:
             w.writerow([r["block"] or "", r["tx_hash"] or "", r["url"], r["priority"]])
 
 
-def payload_for_key(key_hex: str) -> dict:
+def payload_for_key(key_hex: str, encode: bool = True) -> dict:
     """Deterministic image+caption payload for a url key (FIXTURES.md §1).
 
     RNG is keyed by the first 16 hex chars of the key, so any worker (and the
     test oracle) regenerates the identical payload independently.
+    ``encode=False`` skips the container encode (validators only need the
+    reference pixels/caption/phash — re-encoding them would double the cost).
     """
     rng = np.random.default_rng(int(key_hex[:16], 16))
     w = int(rng.choice([32, 64, 128]))
@@ -107,7 +109,7 @@ def payload_for_key(key_hex: str) -> dict:
     noun = _NOUNS[int(rng.integers(0, len(_NOUNS)))]
     verb = _VERBS[int(rng.integers(0, len(_VERBS)))]
     caption = f"synthetic caption {key_hex[:12]} {noun} {verb}"
-    data = encode_image(pixels, fmt)
+    data = encode_image(pixels, fmt) if encode else b""
     return {
         "image_id": key_hex,
         "bytes": data,
