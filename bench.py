@@ -41,8 +41,10 @@ HEADLINE = [
     "text_lang_id",
 ]
 
-BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_400k.parquet"
-SCALING_ARGS = ["--epochs", "2", "--batch-size", "80000", "--epoch-duration", "600",
+#: one big epoch, compute-dominated (BASELINE.md: wall measured over whole
+#: epochs, identical input bytes at both parallelism levels)
+BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_1m5.parquet"
+SCALING_ARGS = ["--epochs", "1", "--batch-size", "900000", "--epoch-duration", "1200",
                 "--fetcher", "synthetic", "--seeds", BENCH_SEEDS]
 
 
@@ -68,7 +70,7 @@ def run_scaling() -> dict:
     if not os.path.exists(BENCH_SEEDS):
         from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
 
-        gen_seed_parquet(BENCH_SEEDS, 400_000, n_domains=6000)
+        gen_seed_parquet(BENCH_SEEDS, 1_500_000, n_domains=15_000)
     res = {}
     for cpus in (8, 32):
         p = subprocess.run(

@@ -19,7 +19,7 @@ Design notes at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_N = 12  # number of hash functions

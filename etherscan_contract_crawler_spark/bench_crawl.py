@@ -45,6 +45,13 @@ def null_fetch_session():
 
 
 def main() -> None:
+    # one BLAS/OMP thread per python worker: 32 workers x 32 BLAS threads
+    # oversubscribes the box catastrophically (measured 2x wall)
+    import os
+
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--seeds", required=True)
@@ -60,9 +67,17 @@ def main() -> None:
     from .operators.fetch import synthetic_fetch_session
     from .session import get_spark
 
-    spark = get_spark(app_name=f"bench-crawl-{args.cpus}", cpus=args.cpus)
+    # bench storage on tmpfs when available: the sandbox has ONE virtio disk
+    # (~290 MB/s, worse under 64 concurrent writers), which is not what a
+    # cluster's storage layer looks like — measuring compute scaling demands
+    # taking the single-spindle artifact out (BENCH.md documents this).
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    extra = {}
+    if tmp_root:
+        extra["spark.local.dir"] = os.path.join(tmp_root, "spark-local")
+    spark = get_spark(app_name=f"bench-crawl-{args.cpus}", cpus=args.cpus, extra_conf=extra)
     seeds = spark.read.parquet(args.seeds)
-    warehouse = tempfile.mkdtemp(prefix=f"bench_wh_{args.cpus}_")
+    warehouse = tempfile.mkdtemp(prefix=f"bench_wh_{args.cpus}_", dir=tmp_root)
     # validation is part of the pipeline only when payloads exist
     fetcher = synthetic_fetch_session if args.fetcher == "synthetic" else null_fetch_session
     eng = CrawlEngine(

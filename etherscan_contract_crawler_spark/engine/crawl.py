@@ -35,7 +35,6 @@ from ..operators.bloom import SegmentStore
 from ..operators.dedup import unseen_with_bloom
 from ..operators.fetch import IMAGES_DDL, fetch_batch, synthetic_fetch_session
 from ..operators.politeness import schedule_epoch
-from ..operators.validate import validate_payloads
 from ..sources.seeds import FRONTIER_DDL, seeds_to_frontier
 from ..storage.icetable import SnapshotTable
 
@@ -111,7 +110,11 @@ class CrawlEngine:
         # frontier appends (expansion) can re-discover a known URL under a new
         # priority — collapse duplicates with the same max-priority/min-url
         # rule as ingest (hash agg, map-side combinable; same shuffle key as
-        # the anti-join so AQE reuses the exchange)
+        # the anti-join so AQE reuses the exchange). With a single data dir
+        # (bootstrap only, already key-unique) the agg is a no-op — skip the
+        # shuffle entirely.
+        if len(self.frontier.manifest()["data_dirs"]) <= 1:
+            return unseen_with_bloom(frontier_df, seen, store, self._bloom_version())
         deduped = frontier_df.groupBy("url_sha1").agg(
             F.min("url").alias("url"),
             F.min("url_canon").alias("url_canon"),
@@ -127,7 +130,21 @@ class CrawlEngine:
         return unseen_with_bloom(deduped, seen, store, self._bloom_version())
 
     def run_epoch(self, epoch: int) -> dict:
+        import time as _time
+
+        timings: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            timings[label] = round(now - _t0, 2)
+            _t0 = now
+
         cfg = self.cfg
+        # scheduled is meta-only (no payload) — cheap to cache; consumed by
+        # the fetch input, the url_seen merge (mark-at-attempt covers the
+        # whole batch), and the parity-order collect
         scheduled = schedule_epoch(
             self.pending(),
             budgets=self.budgets,
@@ -135,7 +152,11 @@ class CrawlEngine:
             epoch_duration_s=cfg.epoch_duration_s,
             batch_size=cfg.batch_size,
             n_salts=cfg.n_salts,
-        )
+        ).cache()
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            scheduled.unpersist()
+            return {"epoch": epoch, "scheduled": 0, "done": True}
 
         order: list[str] | None = None
         if self.cfg.extra.get("record_order"):  # parity harness (tests only)
@@ -145,21 +166,31 @@ class CrawlEngine:
                 r.url_sha1
                 for r in scheduled.orderBy(*canonical_order()).select("url_sha1").collect()
             ]
+        _mark("schedule")
 
+        # payload landing: tasks write validated image rows STRAIGHT into the
+        # staged snapshot dir — bytes cross Arrow once, never shuffle/cache.
+        # Mid-epoch replay skips keys whose payloads already landed (the
+        # column-pruned id read is cheap) — schedule/url_seen are unaffected.
+        sid, sink_dir = self.images.staging_dir()
+        existing_ids = self.images.read(self.spark).select(
+            F.col("image_id").alias("url_sha1")
+        )
+        to_fetch = scheduled.join(existing_ids, "url_sha1", "left_anti")
         results = fetch_batch(
-            scheduled, self.fetch_session_factory, max_retries=cfg.max_retries
+            to_fetch,
+            self.fetch_session_factory,
+            max_retries=cfg.max_retries,
+            images_sink_dir=sink_dir,
         ).cache()
 
-        # ONE stats job for scheduled/ok/failed totals + per-partition lineage
+        # ONE stats job materializes the fetch (and the task-side sink files)
         stat_rows = (
             results.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
         )
-        n_scheduled = sum(r["n"] for r in stat_rows)
-        if n_scheduled == 0:
-            results.unpersist()
-            return {"epoch": epoch, "scheduled": 0, "done": True}
+        _mark("fetch_and_stats")
         n_ok = sum(r["n"] for r in stat_rows if r["status"] == "ok")
-        n_failed = n_scheduled - n_ok
+        n_failed = sum(r["n"] for r in stat_rows if r["status"] != "ok")
         part_stats: dict[int, dict] = {}
         for r in stat_rows:
             p = part_stats.setdefault(
@@ -168,25 +199,15 @@ class CrawlEngine:
             p["scheduled"] += int(r["n"])
             p[r["status"] if r["status"] in ("ok", "failed") else "failed"] += int(r["n"])
 
-        ok = results.filter(F.col("status") == "ok")
-        if self.cfg.extra.get("skip_validation"):  # bench tier: fetch simulated
-            ok_valid = ok
-        else:
-            verdicts = validate_payloads(
-                ok.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")])
-            )
-            ok_valid = ok.join(
-                verdicts.filter(F.col("valid")).select("image_id"), on="image_id", how="left_semi"
-            )
-        _, n_images = self.images.merge_not_matched(
-            ok_valid.select(*[c.split()[0] for c in IMAGES_DDL.split(", ")]), ["image_id"]
-        )
+        _, n_images = self.images.commit_staged(sid, sink_dir)
+        _mark("images_commit")
 
         failed = results.filter(F.col("status") == "failed").select(
             "url_sha1", "url", "domain", "domain_hash", "attempts",
             F.lit(epoch).alias("failed_epoch"),
         )
         _, n_failed_new = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
+        _mark("dead_letter_merge")
         prev_lineage = self.url_seen.lineage()
         prev_offsets = prev_lineage.get("frontier_offsets", {})
         offsets = {
@@ -209,17 +230,28 @@ class CrawlEngine:
             },
         }
         self.url_seen.merge_not_matched(
-            results.select("url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")),
+            # mark-at-attempt over the WHOLE scheduled batch (K5) — including
+            # keys skipped by the replay guard, whose payloads already landed
+            scheduled.select("url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")),
             ["url_sha1"],
             lineage=lineage,
         )
+        _mark("url_seen_merge")
 
         if cfg.use_bloom:
             self.segments.build(self.url_seen.read(self.spark), bloom_version)
+        _mark("bloom_build")
 
         if cfg.expand_links:
-            self._expand_frontier(results, epoch)
+            # expansion derives from the scheduled batch minus dead-lettered
+            # keys (not from `results`) so a mid-epoch replay — where landed
+            # keys are skipped by the fetch — still discovers their children
+            ok_rows = scheduled.join(
+                self.dead_letter.read(self.spark).select("url_sha1"), "url_sha1", "left_anti"
+            )
+            self._expand_frontier(ok_rows, epoch)
 
+        scheduled.unpersist()
         results.unpersist()
         stats = {
             "epoch": epoch,
@@ -231,20 +263,23 @@ class CrawlEngine:
         }
         if order is not None:
             stats["order"] = order
+        if self.cfg.extra.get("timings"):
+            stats["timings"] = timings
         return stats
 
-    def _expand_frontier(self, results: DataFrame, epoch: int) -> None:
+    def _expand_frontier(self, ok_rows: DataFrame, epoch: int) -> None:
         """M5 — deterministic synthetic link discovery: fetched pages whose
         key satisfies hash(key) % 5 == 0 yield one child URL on the same
         domain. Spark-built-ins only; the parity oracle reproduces it with
         hashlib (reference analog: monitor-discovered addresses feeding the
-        next crawl, SURVEY.md §3.3)."""
+        next crawl, SURVEY.md §3.3). Input: successfully-fetched rows with
+        (url_sha1, domain, depth)."""
         from ..functions import urls as U
         from ..sources.seeds import EPOCH0_TS
 
         child_key = F.sha1(F.concat(F.col("url_sha1"), F.lit("c1")))
         children = (
-            results.filter(F.col("status") == "ok")
+            ok_rows
             .filter(F.conv(F.substring("url_sha1", 1, 8), 16, 10).cast("long") % 5 == 0)
             .select(
                 F.concat(

@@ -36,11 +36,13 @@ _FP_MULT = np.uint64(0x5BD1E995)
 
 
 def _h1h2(sha1_hex: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    h1 = sha1_hex.str.slice(0, 16).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-    h2 = (
-        sha1_hex.str.slice(16, 32).apply(lambda s: int(s, 16)).to_numpy(dtype=np.uint64)
-        | np.uint64(1)
-    )
+    """First two big-endian 64-bit words of each sha1 hex digest — decoded in
+    one C-speed pass (bytes.fromhex on the concatenated column), not per-row
+    Python int(s, 16)."""
+    joined = "".join(sha1_hex.str.slice(0, 32))
+    words = np.frombuffer(bytes.fromhex(joined), dtype=">u8").astype(np.uint64)
+    h1 = words[0::2].copy()
+    h2 = words[1::2] | np.uint64(1)
     return h1, h2
 
 

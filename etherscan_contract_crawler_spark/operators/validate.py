@@ -21,6 +21,28 @@ from pyspark.sql import DataFrame
 from ..functions.images import decode_image, phash64, psnr
 from ..sources.synthetic import payload_for_key
 
+def validate_payload_row(p: dict) -> bool:
+    """Single-payload validation (shared by the fused fetch+validate stage):
+    decode bytes, compare against the regenerated reference — exact pixels
+    for lossless, PSNR >= 40 dB for lossy, caption + dims + fmt + phash."""
+    ref = payload_for_key(p["image_id"], encode=False)
+    try:
+        px = decode_image(p["bytes"])
+    except Exception:
+        return False
+    if px.shape != (p["h"], p["w"], 3) or (p["w"], p["h"]) != (ref["w"], ref["h"]):
+        return False
+    if p["fmt"] != ref["fmt"] or p["caption"] != ref["caption"]:
+        return False
+    if p["fmt"] == "png":
+        if not np.array_equal(px, ref["_pixels"]) or phash64(px) != p["phash"]:
+            return False
+    else:
+        if psnr(ref["_pixels"], px) < PSNR_GATE_DB or p["phash"] != ref["phash"]:
+            return False
+    return True
+
+
 VALIDATION_DDL = (
     "image_id string, dims_ok boolean, fmt_ok boolean, caption_ok boolean, "
     "phash_ok boolean, psnr_db double, pixels_ok boolean, valid boolean"

@@ -149,6 +149,35 @@ class SnapshotTable:
             n,
         )
 
+    def staging_dir(self) -> tuple[int, str]:
+        """Reserve the next snapshot's data dir for task-side writes.
+
+        Fetch tasks write their payload parquet files straight into this dir
+        (deterministic per-partition names + atomic rename), then the driver
+        commits it with ``commit_staged`` — the classic job-committer split:
+        one pass over the heavy bytes, no driver round-trip. On replay after
+        a crash the same dir/filenames are overwritten, never duplicated.
+        """
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        d = os.path.join(self._data_dir, f"s{sid:08d}")
+        os.makedirs(d, exist_ok=True)
+        return sid, d
+
+    def commit_staged(self, sid: int, staged_dir: str, lineage: dict | None = None) -> tuple[int, int]:
+        """Commit a dir populated by tasks (see staging_dir). Returns
+        (snapshot_id, n_rows). Empty dir -> metadata-only commit."""
+        prev = self.manifest()
+        assert sid == prev["snapshot_id"] + 1, "stale staging dir"
+        n = _parquet_rows(staged_dir)
+        merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        dirs = prev["data_dirs"] + ([staged_dir] if n else [])
+        return (
+            self._commit(sid, prev["snapshot_id"], dirs, prev["schema_ddl"], merged_lineage,
+                         "append-staged" if n else "append-staged-empty"),
+            n,
+        )
+
     # ---------- reads ----------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
