@@ -570,6 +570,182 @@ def crawl_schedule_epoch(spark, sf_dir):
     return sched.select("url", "domain", "priority", "rn", "fetch_slot")
 
 
+# J3 — positional zip join: pair i-th file name with i-th body
+# (contract_crawler.py:270 — zip(files, sources))
+@_q(
+    "positional_zip_join",
+    """
+    WITH a AS (
+      SELECT l_orderkey,
+             list(CAST(l_partkey AS VARCHAR)
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS files,
+             list(CAST(l_suppkey AS VARCHAR)
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS bodies
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(unnest(generate_series(1, len(files))) - 1 AS INT) AS pos,
+           unnest(files) AS fname, unnest(bodies) AS body
+    FROM a
+    """,
+)
+def positional_zip_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+    )
+    arrays = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(item)).alias("items")
+    ).select(
+        "l_orderkey",
+        F.transform("items", lambda s: s["pk"].cast("string")).alias("files"),
+        F.transform("items", lambda s: s["sk"].cast("string")).alias("bodies"),
+    )
+    return arrays.select(
+        "l_orderkey",
+        F.posexplode(F.arrays_zip("files", "bodies")).alias("pos", "z"),
+    ).select("l_orderkey", F.col("pos").cast("int"), F.col("z.files").alias("fname"), F.col("z.bodies").alias("body"))
+
+
+# J4/F6 — import resolution: regex basename -> broadcast index join with
+# node_modules fallback (fix-imports-solidity.py:27-39, :68)
+@_q(
+    "import_resolution",
+    """
+    WITH idx AS (
+      SELECT DISTINCT 'part' || CAST(p_partkey AS VARCHAR) || '.sol' AS basename,
+             'contracts/part' || CAST(p_partkey AS VARCHAR) || '.sol' AS path
+      FROM part WHERE p_partkey % 500 < 400),
+    imports AS (
+      SELECT l_orderkey, l_linenumber,
+             regexp_extract('import "../lib/part' || CAST(l_partkey % 500 AS VARCHAR) || '.sol";',
+                            '".*/(\\w+\\.sol)";', 1) AS basename
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, i.basename,
+           coalesce(idx.path, 'node_modules/' || i.basename) AS resolved
+    FROM imports i LEFT JOIN idx ON i.basename = idx.basename
+    """,
+)
+def import_resolution(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    idx = (
+        p.filter(F.col("p_partkey") % 500 < 400)
+        .select(
+            F.concat(F.lit("part"), F.col("p_partkey").cast("string"), F.lit(".sol")).alias("basename"),
+            F.concat(F.lit("contracts/part"), F.col("p_partkey").cast("string"), F.lit(".sol")).alias("path"),
+        )
+        .distinct()
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    line = F.concat(
+        F.lit('import "../lib/part'), (F.col("l_partkey") % 500).cast("string"), F.lit('.sol";')
+    )
+    imports = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_extract(line, r'".*/(\w+\.sol)";', 1).alias("basename"),
+    )
+    return imports.join(F.broadcast(idx), "basename", "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "basename",
+        F.coalesce(F.col("path"), F.concat(F.lit("node_modules/"), F.col("basename"))).alias("resolved"),
+    )
+
+
+# skew — salted two-stage aggregation (hot keys: l_returnflag has 3 values);
+# oracle is the plain GROUP BY: salting must not change the answer
+@_q(
+    "salted_groupby",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_groupby(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        "l_orderkey",
+        {"n": (F.count("*"), F.sum("n")), "revenue": (F.sum(rev), F.sum("revenue"))},
+        n_salts=16,
+    )
+    return out.select("l_returnflag", "n", F.round("revenue", 2).alias("revenue"))
+
+
+# ops metrics — cube over (returnflag, linestatus): the domain×fmt crawl
+# metrics rollup (SURVEY.md §2.4 ⊘ row)
+@_q(
+    "cube_metrics",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# F7/F8/F10 — zero-pad, timestamp format, hex encode
+@_q(
+    "scalar_misc",
+    """
+    SELECT o_orderkey, lower(to_hex(o_orderkey)) AS hexkey,
+           strftime(o_orderdate, '%Y%m%d') AS day_str,
+           lpad(CAST(o_custkey % 1000 AS VARCHAR), 5, '0') AS padded
+    FROM orders
+    """,
+)
+def scalar_misc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower(F.hex(F.col("o_orderkey"))).alias("hexkey"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day_str"),
+        F.lpad((F.col("o_custkey") % 1000).cast("string"), 5, "0").alias("padded"),
+    )
+
+
+# lag/lead + cumulative windows — gap-based sessionization of events
+@_q(
+    "sessionize_events",
+    """
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx,
+           CAST(is_new AS INT) AS is_new_session
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id))) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, gap_s=1800)
+    return s.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "session_idx",
+        F.col("is_new_session").cast("int").alias("is_new_session"),
+    )
+
+
 # ------------------------------------------------- data-pipeline operators
 
 # exact dedup over an augmented corpus (1/3 of docs duplicated)
@@ -684,6 +860,38 @@ def dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+# embedding-cosine near-dup: corpus = embeddings(vec_id<300) plus scaled
+# copies (cosine-invariant ×2) of every 5th vector; pairs with cosine>=0.99
+# are exactly the planted copies. Exact self-join is the oracle; the scale
+# path pre-buckets with the hyperplane LSH of lsh_bucket_topk.
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             CAST(list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300 AND vec_id % 5 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    copies = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2).cast("float")).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(copies)
+    return cosine_neardup_pairs(corpus, threshold=0.99)
+
+
 @_q(
     "ann_cosine_topk",
     """
@@ -782,6 +990,29 @@ def text_quality(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# rolling-hash winnowing fingerprints (MOSS) — k=8-gram hashes, window w=4
+@_q(
+    "text_winnow_fingerprint",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS pos, norm
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents WHERE doc_id < 100))
+    SELECT DISTINCT doc_id,
+           min(CAST(('0x' || substr(md5(substr(norm, pos, 8)), 1, 15)) AS BIGINT))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM g
+    """,
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(d, k=8, w=4)
 
 
 # ------------------------------------------------- multimodal (rows-only)

@@ -63,6 +63,38 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Exact correctness baseline: self-join with the pair predicate evaluated
+    JVM-side (zip_with + aggregate — no Python). At corpus scale the exact
+    self-join is quadratic, so the production plan pre-buckets both sides
+    with the same random-hyperplane signatures as :func:`lsh_bucket_topk`
+    and only scores same-bucket pairs; this exact operator is the oracle
+    those candidates are verified against.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,

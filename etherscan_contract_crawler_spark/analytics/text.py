@@ -8,10 +8,10 @@ deterministic answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalized_words
+from .dedup import _hash60, normalized_words
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
@@ -87,4 +87,39 @@ def fingerprint(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
         F.col(key_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al., MOSS).
+
+    Every character k-gram of the normalized text is hashed; each sliding
+    window of ``w`` consecutive gram hashes contributes its minimum; the
+    distinct set of selected hashes is the document fingerprint. Two docs
+    sharing a long-enough substring share fingerprints regardless of offset.
+
+    Plan shape: one explode (positions), one frame window (min over
+    ``rowsBetween(0, w-1)`` within doc ordered by pos), one distinct —
+    all JVM-side; the explode factor (~doc length) is the scale cost and is
+    bounded by truncating inputs upstream when only a sketch is needed.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = docs.select(
+        F.col(key_col).alias("doc_id"),
+        norm.alias("_norm"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    ).select(
+        "doc_id", "pos", _hash60(F.substring(F.col("_norm"), F.col("pos"), k)).alias("gh")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("gh").over(win).alias("fp"))
+        .distinct()
     )

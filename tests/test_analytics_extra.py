@@ -1,0 +1,122 @@
+"""Unit tests for the round-1 coverage additions: sessionization,
+winnowing fingerprints, embedding-cosine near-dup, salted aggregation."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from etherscan_contract_crawler_spark.analytics.sessions import session_stats, sessionize
+from etherscan_contract_crawler_spark.analytics.similarity import cosine_neardup_pairs
+from etherscan_contract_crawler_spark.analytics.text import winnow_fingerprints
+from etherscan_contract_crawler_spark.operators.skew import salted_agg
+
+
+def test_sessionize_gap_semantics(spark):
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", 1, t0),
+        ("u1", 2, t0 + timedelta(seconds=100)),      # same session
+        ("u1", 3, t0 + timedelta(seconds=100 + 1801)),  # gap > 1800 -> new
+        ("u2", 4, t0),                                # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["session_idx"], r["is_new_session"])
+        for r in sessionize(df).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (2, 1), 4: (1, 1)}
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(df).collect()
+    }
+    assert stats[("u1", 1)] == (2, 100)
+    assert stats[("u1", 2)] == (1, 0)
+    assert stats[("u2", 1)] == (1, 0)
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # gap of exactly 1800s does NOT start a new session (strict >)
+    t0 = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("u", 1, t0), ("u", 2, t0 + timedelta(seconds=1800))],
+        "user_id string, event_id long, ts timestamp",
+    )
+    out = sessionize(df).collect()
+    assert {r["session_idx"] for r in out} == {1}
+
+
+def test_winnow_shared_substring_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"PREFIX AAA {shared} SUFFIX BBB"),
+            (2, f"zzz completely different lead-in {shared}"),
+            (3, "nothing in common with the others at all whatsoever xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=8, w=4).collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs 1 and 2 share a long substring -> many shared fingerprints
+    assert len(sets[1] & sets[2]) >= 5
+    # doc 3 shares (almost) nothing with doc 1
+    assert len(sets[1] & sets[3]) <= 1
+
+
+def test_winnow_offset_invariance(spark):
+    body = "a stable payload string that is long enough to window over properly"
+    docs = spark.createDataFrame(
+        [(1, body), (2, "shift " + body)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs, k=8, w=4).collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing selects local minima, so interior fingerprints survive a shift
+    inter = sets[1] & sets[2]
+    assert len(inter) / len(sets[1]) > 0.5
+
+
+def test_cosine_neardup_finds_planted_copies(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant: id 100+i = scaled copy of i for i in {0, 5}
+    for i in (0, 5):
+        rows.append((100 + i, [float(2 * x) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(df, 0.99).collect()}
+    assert (0, 100) in pairs and (5, 105) in pairs
+    # no false positives among random 16-dim vectors at 0.99
+    assert all(b - a == 100 for a, b in pairs)
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"], "v",
+            {"n": (F.count("*"), F.sum("n")), "s": (F.sum("v"), F.sum("s"))},
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_plan_has_two_aggregations(spark):
+    df = spark.range(0, 100).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    out = salted_agg(df, ["k"], "v", {"n": (F.count("*"), F.sum("n"))})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("hashaggregate") >= 2
