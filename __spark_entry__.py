@@ -396,6 +396,28 @@ def sentinel_filter(spark, sf_dir):
     )
 
 
+# P4 — numeric-prefix filter: drop texts starting with a digit
+# (line-number gutters, contract_crawler.py:48-49, :224)
+@_q(
+    "numeric_prefix_filter",
+    """
+    SELECT doc_id, s FROM (
+      SELECT doc_id, CASE WHEN doc_id % 4 = 0
+                          THEN CAST(doc_id AS VARCHAR) || substr(text, 1, 20)
+                          ELSE substr(text, 1, 20) END AS s
+      FROM documents)
+    WHERE NOT regexp_matches(s, '^[0-9]')
+    """,
+)
+def numeric_prefix_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("doc_id").cast("string"), F.substring(F.col("text"), 1, 20)),
+    ).otherwise(F.substring(F.col("text"), 1, 20))
+    return d.select("doc_id", s.alias("s")).filter(~TXT.starts_with_digit(F.col("s")))
+
+
 # F1 — path-safe sanitize (contract_crawler.py:44-46)
 @_q(
     "sanitize_name",

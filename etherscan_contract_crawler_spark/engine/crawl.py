@@ -4,10 +4,12 @@ One epoch = one deterministic, resumable unit:
 
     frontier ──anti-join(url_seen, bloom/cuckoo pre-filter)──► pending
     pending  ──robots ∧ budgets ∧ politeness windows──────────► scheduled batch
-    scheduled ──mapInPandas fetch (injected fetcher)──────────► results
-    results(ok) ──decode/PSNR/caption validation──────────────► images MERGE
-    results(failed) ───────────────────────────────────────────► dead_letter MERGE
-    results(all) ──mark-at-attempt (K5 semantics)──────────────► url_seen MERGE
+    scheduled ──ONE job: mapInPandas fetch (injected fetcher)
+                + inline decode/PSNR/caption validation
+                + partitionBy(valid) columnar write────────────► staged raw dir
+    raw(valid=true dir) ──commit_staged (no copy)──────────────► images snapshot
+    raw(failed) ───────────────────────────────────────────────► dead_letter MERGE
+    scheduled ──mark-at-attempt (K5 semantics)─────────────────► url_seen MERGE
                                                                 + lineage commit
     url_seen ──rebuild bloom/cuckoo segments (per-bucket)──────► segment store
 
@@ -33,7 +35,12 @@ from pyspark.sql import functions as F
 
 from ..operators.bloom import SegmentStore
 from ..operators.dedup import unseen_with_bloom
-from ..operators.fetch import IMAGES_DDL, fetch_batch, synthetic_fetch_session
+from ..operators.fetch import (
+    FETCH_RESULT_DDL,
+    IMAGES_DDL,
+    fetch_batch,
+    synthetic_fetch_session,
+)
 from ..operators.politeness import schedule_epoch
 from ..sources.seeds import FRONTIER_DDL, seeds_to_frontier
 from ..storage.icetable import SnapshotTable
@@ -168,11 +175,13 @@ class CrawlEngine:
             ]
         _mark("schedule")
 
-        # payload landing: tasks write validated image rows STRAIGHT into the
-        # staged snapshot dir — bytes cross Arrow once, never shuffle/cache.
-        # Mid-epoch replay skips keys whose payloads already landed (the
-        # column-pruned id read is cheap) — schedule/url_seen are unaffected.
-        sid, sink_dir = self.images.staging_dir()
+        # payload landing: ONE job runs fetch -> validate -> partitioned
+        # columnar write. Bytes cross Arrow once into the JVM parquet writer
+        # and never enter a shuffle, a cache, or the driver; the valid=true
+        # partition dir becomes the images snapshot's data dir as-is (no
+        # second copy). Mid-epoch replay skips keys whose payloads already
+        # landed in a committed snapshot (column-pruned id read is cheap).
+        sid, raw_dir = self.images.staging_raw_dir()
         existing_ids = self.images.read(self.spark).select(
             F.col("image_id").alias("url_sha1")
         )
@@ -181,12 +190,25 @@ class CrawlEngine:
             to_fetch,
             self.fetch_session_factory,
             max_retries=cfg.max_retries,
-            images_sink_dir=sink_dir,
-        ).cache()
+        )
+        # payload bytes are already codec-compressed — snappy on top only
+        # burns CPU and buffers; small row groups cap per-task write buffering
+        # (32 concurrent tasks x 128 MB default would churn ~4 GB of heap)
+        (
+            results.write.mode("overwrite")
+            .option("compression", "none")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .partitionBy("valid")
+            .parquet(raw_dir)
+        )
+        # explicit schema: avoids inference failure when the guarded refetch
+        # is empty (full replay — every payload already landed) and makes the
+        # partition column (valid) part of the contract
+        raw = self.spark.read.schema(FETCH_RESULT_DDL).parquet(raw_dir)
 
-        # ONE stats job materializes the fetch (and the task-side sink files)
+        # stats come from the landed files — column-pruned scan, no refetch
         stat_rows = (
-            results.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
+            raw.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
         )
         _mark("fetch_and_stats")
         n_ok = sum(r["n"] for r in stat_rows if r["status"] == "ok")
@@ -199,10 +221,10 @@ class CrawlEngine:
             p["scheduled"] += int(r["n"])
             p[r["status"] if r["status"] in ("ok", "failed") else "failed"] += int(r["n"])
 
-        _, n_images = self.images.commit_staged(sid, sink_dir)
+        _, n_images = self.images.commit_staged(sid, os.path.join(raw_dir, "valid=true"))
         _mark("images_commit")
 
-        failed = results.filter(F.col("status") == "failed").select(
+        failed = raw.filter(F.col("status") == "failed").select(
             "url_sha1", "url", "domain", "domain_hash", "attempts",
             F.lit(epoch).alias("failed_epoch"),
         )
@@ -252,7 +274,6 @@ class CrawlEngine:
             self._expand_frontier(ok_rows, epoch)
 
         scheduled.unpersist()
-        results.unpersist()
         stats = {
             "epoch": epoch,
             "scheduled": n_scheduled,

@@ -17,11 +17,19 @@ Retry semantics follow the reference: retries happen INSIDE the attempt
 mark-at-attempt checkpointing (K5, :488-490) then records it seen regardless
 of outcome. Hard failures are emitted with status='failed' for the
 dead-letter table (retry-as-data, W3, is available for the deferred mode).
+
+Payload landing (the 100 TB path): the fetch stage RETURNS full payload rows
+— bytes cross the Arrow boundary exactly once into the JVM, and the engine
+lands them with a single ``write.partitionBy(valid).parquet`` in the SAME
+job (fetch -> validate -> columnar write, no shuffle, nothing to the
+driver). An earlier design wrote parquet from inside the Python workers;
+measured on this box it was ~6x slower under 32-way concurrency (concurrent
+45 MB pyarrow allocations in every worker stall on page faults), while the
+JVM parquet writer pipelines the same bytes with no such cliff.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -59,21 +67,14 @@ def synthetic_fetch_session() -> FetchFn:
     return fetch
 
 
-FETCH_META_DDL = (
-    "url_sha1 string, url string, url_canon string, domain string, domain_hash int, "
-    "priority double, depth int, scheduled_offset_s double, status string, attempts int, "
-    "image_id string, valid boolean"
-)
-
-
 def fetch_batch(
     scheduled: DataFrame,
     fetch_session_factory: Callable[[], FetchFn] = synthetic_fetch_session,
     max_retries: int = 3,
     validate_inline: bool = True,
-    images_sink_dir: str | None = None,
 ) -> DataFrame:
-    """Run the fetch stage; returns one row per attempted URL (ok or failed).
+    """Run the fetch stage; returns one full row per attempted URL (ok or
+    failed), payload columns null on failure.
 
     ``validate_inline=True`` fuses U4 payload validation (decode + PSNR +
     caption/phash vs the deterministic reference) into the same Arrow pass —
@@ -81,14 +82,6 @@ def fetch_batch(
     the binary column (plus its shuffle and semi-join) would double the
     heaviest data movement of the epoch for nothing. The standalone
     operators/validate.py stage remains for auditing stored tables.
-
-    ``images_sink_dir``: task-side payload landing (the 100 TB path). Each
-    task writes its validated image rows as ONE parquet file directly into
-    the staged snapshot dir (deterministic name part-{partition}.parquet,
-    write-then-atomic-rename) and emits only meta rows — payload bytes cross
-    the Arrow boundary exactly once and never enter a shuffle, cache, or
-    driver. The driver then commits the dir (storage.icetable.commit_staged).
-    Without a sink dir, full payload rows are returned (small-scale/tests).
     """
 
     cols = [
@@ -100,7 +93,6 @@ def fetch_batch(
         from .validate import validate_payload_row
 
         fetch = fetch_session_factory()  # once per task (U3)
-        sink_rows: list[dict] = []  # valid payload rows bound for the sink file
         for pdf in batches:
             out = {c: [] for c in (*cols, "status", "attempts", "image_id", "bytes",
                                    "w", "h", "fmt", "caption", "phash", "valid")}
@@ -124,63 +116,28 @@ def fetch_batch(
                     valid = True
                 out["valid"].append(valid)
                 out["image_id"].append(p.get("image_id"))
-                if images_sink_dir is None:
-                    out["bytes"].append(p.get("bytes"))
-                    out["w"].append(p.get("w"))
-                    out["h"].append(p.get("h"))
-                    out["fmt"].append(p.get("fmt"))
-                    out["caption"].append(p.get("caption"))
-                    out["phash"].append(p.get("phash"))
-                elif valid:
-                    sink_rows.append(p)
-            if images_sink_dir is not None:
-                for c in ("bytes", "w", "h", "fmt", "caption", "phash"):
-                    del out[c]
+                out["bytes"].append(p.get("bytes"))
+                out["w"].append(p.get("w"))
+                out["h"].append(p.get("h"))
+                out["fmt"].append(p.get("fmt"))
+                out["caption"].append(p.get("caption"))
+                out["phash"].append(p.get("phash"))
             res = pd.DataFrame(out)
-            if images_sink_dir is None:
-                # CRITICAL: with None present (failed rows) pandas coerces int
-                # lists to float64, which silently corrupts int64 phash values
-                # above 2^53. Pin nullable integer dtypes instead.
-                res["phash"] = pd.array(out["phash"], dtype="Int64")
-                res["w"] = pd.array(out["w"], dtype="Int32")
-                res["h"] = pd.array(out["h"], dtype="Int32")
+            # CRITICAL: with None present (failed rows) pandas coerces int
+            # lists to float64, which silently corrupts int64 phash values
+            # above 2^53. Pin nullable integer dtypes instead.
+            res["phash"] = pd.array(out["phash"], dtype="Int64")
+            res["w"] = pd.array(out["w"], dtype="Int32")
+            res["h"] = pd.array(out["h"], dtype="Int32")
             yield res
-        if images_sink_dir is not None and sink_rows:
-            _write_sink_file(images_sink_dir, sink_rows)
 
     # spread fetch I/O evenly: key by (domain_hash, fetch_slot) so a hot
     # domain's slots land on different tasks while politeness offsets still
     # serialize them in time; 2x overpartitioning absorbs residual skew
     n_parts = scheduled.sparkSession.sparkContext.defaultParallelism * 2
-    schema = FETCH_META_DDL if images_sink_dir is not None else FETCH_RESULT_DDL
     return (
         scheduled.select(*cols, "fetch_slot")
         .repartition(n_parts, "domain_hash", "fetch_slot")
         .drop("fetch_slot")
-        .mapInPandas(run, schema=schema)
+        .mapInPandas(run, schema=FETCH_RESULT_DDL)
     )
-
-
-def _write_sink_file(sink_dir: str, rows: list[dict]) -> None:
-    """One parquet file per task, deterministic name, atomic rename —
-    replayed tasks overwrite their own file instead of duplicating it."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyspark import TaskContext
-
-    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-    tbl = pa.table(
-        {
-            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
-            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
-            "w": pa.array([r["w"] for r in rows], pa.int32()),
-            "h": pa.array([r["h"] for r in rows], pa.int32()),
-            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
-            "caption": pa.array([r["caption"] for r in rows], pa.string()),
-            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
-        }
-    )
-    final = os.path.join(sink_dir, f"part-{pid:05d}.parquet")
-    tmp = final + f".tmp{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, final)

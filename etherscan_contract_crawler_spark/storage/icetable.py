@@ -149,27 +149,42 @@ class SnapshotTable:
             n,
         )
 
-    def staging_dir(self) -> tuple[int, str]:
-        """Reserve the next snapshot's data dir for task-side writes.
+    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
+        """K7 — snapshot rewrite (Iceberg ``overwritePartitions`` analog,
+        reference: fix-imports rewrites a file only when lines changed,
+        fix-imports-solidity.py:50-58). The new snapshot's live data is
+        ``df`` alone; prior snapshots stay readable via time travel."""
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        d, _ = self._write_data(df, sid)
+        merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        return self._commit(
+            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "overwrite"
+        )
 
-        Fetch tasks write their payload parquet files straight into this dir
-        (deterministic per-partition names + atomic rename), then the driver
-        commits it with ``commit_staged`` — the classic job-committer split:
-        one pass over the heavy bytes, no driver round-trip. On replay after
-        a crash the same dir/filenames are overwritten, never duplicated.
+    def staging_raw_dir(self) -> tuple[int, str]:
+        """Reserve the next snapshot's raw landing dir for a job-side write.
+
+        The engine's fetch job writes full result rows here with
+        ``write.partitionBy("valid")``; the ``valid=true`` subdir is then
+        committed with ``commit_staged`` AS the snapshot's data dir — the
+        classic job-committer split: one pass over the heavy bytes, no second
+        copy, no driver round-trip. Extra (meta) columns in the staged files
+        are invisible to readers because ``read`` always applies the table
+        schema (parquet column pruning). On replay after a crash the write's
+        overwrite mode replaces the dir, never duplicating rows.
         """
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
-        d = os.path.join(self._data_dir, f"s{sid:08d}")
-        os.makedirs(d, exist_ok=True)
-        return sid, d
+        return sid, os.path.join(self._data_dir, f"s{sid:08d}.raw")
 
     def commit_staged(self, sid: int, staged_dir: str, lineage: dict | None = None) -> tuple[int, int]:
-        """Commit a dir populated by tasks (see staging_dir). Returns
-        (snapshot_id, n_rows). Empty dir -> metadata-only commit."""
+        """Commit a dir populated by a job-side write (see staging_raw_dir).
+        Returns (snapshot_id, n_rows). Missing/empty dir -> metadata-only
+        commit (an epoch can legitimately land zero valid payloads)."""
         prev = self.manifest()
         assert sid == prev["snapshot_id"] + 1, "stale staging dir"
-        n = _parquet_rows(staged_dir)
+        n = _parquet_rows(staged_dir) if os.path.isdir(staged_dir) else 0
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         dirs = prev["data_dirs"] + ([staged_dir] if n else [])
         return (
