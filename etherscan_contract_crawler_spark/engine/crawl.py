@@ -113,7 +113,14 @@ class CrawlEngine:
     def pending(self) -> DataFrame:
         frontier_df = self.frontier.read(self.spark)
         seen = self.url_seen.read(self.spark)
-        store = self.segments if self.cfg.use_bloom else None
+        # bloom segments are valid only when exactly one epoch behind
+        # (epoch e commits url_seen then builds v{e+1}); after a crash in
+        # that window the stale segments would yield false negatives (seen
+        # keys re-admitted). Degrade to the exact anti-join for one epoch —
+        # always correct — and let build_delta's full-rebuild fallback heal.
+        v = self._bloom_version()
+        expected = self.last_completed_epoch() + 1
+        store = self.segments if (self.cfg.use_bloom and v == expected and v is not None) else None
         # frontier appends (expansion) can re-discover a known URL under a new
         # priority — collapse duplicates with the same max-priority/min-url
         # rule as ingest (hash agg, map-side combinable; same shuffle key as
@@ -160,10 +167,6 @@ class CrawlEngine:
             batch_size=cfg.batch_size,
             n_salts=cfg.n_salts,
         ).cache()
-        n_scheduled = scheduled.count()
-        if n_scheduled == 0:
-            scheduled.unpersist()
-            return {"epoch": epoch, "scheduled": 0, "done": True}
 
         order: list[str] | None = None
         if self.cfg.extra.get("record_order"):  # parity harness (tests only)
@@ -206,11 +209,21 @@ class CrawlEngine:
         # partition column (valid) part of the contract
         raw = self.spark.read.schema(FETCH_RESULT_DDL).parquet(raw_dir)
 
-        # stats come from the landed files — column-pruned scan, no refetch
+        # stats come from the landed files — column-pruned scan, no refetch.
+        # The schedule's cardinality is derived here too: the write job above
+        # materialized the cache, so no separate pre-fetch count() job runs.
         stat_rows = (
             raw.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
         )
+        # the write job materialized the cache, so this count is a cheap
+        # cached scan, not a second pass over the schedule DAG. It can exceed
+        # the raw row count on replay (keys whose payloads already landed are
+        # skipped by the fetch but still need the mark-at-attempt merge).
+        n_scheduled = scheduled.count()
         _mark("fetch_and_stats")
+        if n_scheduled == 0:
+            scheduled.unpersist()
+            return {"epoch": epoch, "scheduled": 0, "done": True}
         n_ok = sum(r["n"] for r in stat_rows if r["status"] == "ok")
         n_failed = sum(r["n"] for r in stat_rows if r["status"] != "ok")
         part_stats: dict[int, dict] = {}
@@ -261,7 +274,18 @@ class CrawlEngine:
         _mark("url_seen_merge")
 
         if cfg.use_bloom:
-            self.segments.build(self.url_seen.read(self.spark), bloom_version)
+            # O(epoch delta), not O(total seen): OR the newly-marked keys
+            # into the previous segments (full per-bucket rebuild only when a
+            # segment's 2x headroom is exhausted). Delta is valid only from
+            # the immediately-previous version; anything else (crash gap)
+            # falls back to a full rebuild from url_seen.
+            prev = self._bloom_version()
+            self.segments.build_delta(
+                scheduled.select("url_sha1", "domain_hash"),
+                self.url_seen.read(self.spark),
+                prev if prev == epoch else None,
+                bloom_version,
+            )
         _mark("bloom_build")
 
         if cfg.expand_links:

@@ -189,12 +189,14 @@ def phash64(arr: np.ndarray) -> int:
     DCT-II -> top-left 8x8 coefficients -> bit i = coef_i > median(coefs
     excluding DC). Exact integer arithmetic end-to-end (deterministic across
     processes/machines); signed-int64 packed (Spark LongType)."""
-    a = arr.astype(np.int64)
-    gray = 299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]  # x1000, exact
-    h, w = gray.shape
+    h, w = arr.shape[:2]
     yi = (np.arange(32) * h) // 32
     xi = (np.arange(32) * w) // 32
-    small = gray[np.ix_(yi, xi)]  # <= 255000 ~ 2^18
+    # downsample BEFORE the grayscale weighting — per-pixel ops commute with
+    # row/col sampling, so this is bit-identical to weighting the full image
+    # while touching 16x less memory for 128px inputs
+    a = arr[np.ix_(yi, xi)].astype(np.int64)
+    small = 299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]  # x1000, <= 2^18
     # |basis| <= 2^12; products bounded by 2^12*2^18*32 * 2^12*32 ~ 2^52 < 2^63
     d = _DCT32_FIXED @ small @ _DCT32_FIXED.T
     block = d[:8, :8].flatten()

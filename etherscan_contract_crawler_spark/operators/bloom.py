@@ -46,8 +46,12 @@ def _h1h2(sha1_hex: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def _bloom_params(n_keys: int, bits_per_key: int = 12, n_hashes: int = 7) -> tuple[int, int]:
-    m = max(64, n_keys * bits_per_key)
+def _bloom_params(
+    n_keys: int, bits_per_key: int = 12, n_hashes: int = 7, headroom: float = 2.0
+) -> tuple[int, int]:
+    """Bits sized with growth headroom so incremental deltas can be OR-ed in
+    for ~headroom x growth before a segment needs a full rebuild."""
+    m = max(64, int(n_keys * bits_per_key * headroom))
     return m, n_hashes
 
 
@@ -96,7 +100,7 @@ class SegmentStore:
                 idx = (h1 + np.uint64(i) * h2) % mm
                 np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
                                  np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-            ck = _CuckooTable.build(h1, h2)
+            ck = _CuckooTable.build(h1, h2, headroom=2.0)
             # savez appends '.npz' unless the name already ends with it
             tmp = seg_path_tpl.format(bucket) + f".tmp{os.getpid()}.npz"
             np.savez_compressed(
@@ -112,6 +116,95 @@ class SegmentStore:
             .applyInPandas(build_segment, schema="domain_hash int, n_keys long")
             .collect()
         )
+        return {r["domain_hash"]: r["n_keys"] for r in res}
+
+    def build_delta(
+        self, delta: DataFrame, seen: DataFrame, prev_version: int | None, version: int
+    ) -> dict[int, int]:
+        """Incremental segment build: OR the epoch's new keys into the
+        previous version's segments instead of rescanning the whole seen set.
+
+        At the 10^10-key target a full rebuild per epoch is O(total) and
+        grows without bound; this is O(epoch delta). Segments are sized with
+        2x headroom (``_bloom_params``), so a bucket only needs a full
+        rebuild (from ``seen``, restricted to that bucket) after it roughly
+        doubles; untouched buckets are hardlinked into the new version dir.
+        Falls back to a full build when there is no previous version.
+        """
+        if prev_version is None:
+            return self.build(seen, version)
+        out_dir = os.path.join(self.root, f"v{version:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        prev_dir = os.path.join(self.root, f"v{prev_version:06d}")
+        bits_per_key = self.bits_per_key
+        store = self
+        pv = prev_version
+
+        def delta_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["domain_hash"].iloc[0])
+            prev_path = store._seg_path(pv, bucket)
+            new_path = store._seg_path(version, bucket)
+            h1, h2 = _h1h2(pdf["url_sha1"])
+            if os.path.exists(prev_path):
+                seg = np.load(prev_path)
+                m, k, n_prev = int(seg["m"]), int(seg["k"]), int(seg["n"])
+                n_total = n_prev + len(pdf)
+                if n_total * bits_per_key > m:  # headroom exhausted
+                    return pd.DataFrame(
+                        {"domain_hash": [bucket], "n_keys": [n_total], "rebuilt": [True]}
+                    )
+                bitmap = seg["bitmap"].copy()
+                mm = np.uint64(m)
+                for i in range(k):
+                    idx = (h1 + np.uint64(i) * h2) % mm
+                    np.bitwise_or.at(
+                        bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                        np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+                    )
+                ck = _CuckooTable(seg["ck_table"].copy(), saturated=bool(seg["ck_saturated"]))
+                if not ck.saturated:
+                    ck.insert_many(h1, h2)
+            else:  # brand-new bucket: fresh segment from the delta alone
+                n_total = len(pdf)
+                m, k = _bloom_params(n_total, bits_per_key)
+                bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+                mm = np.uint64(m)
+                for i in range(k):
+                    idx = (h1 + np.uint64(i) * h2) % mm
+                    np.bitwise_or.at(
+                        bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                        np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+                    )
+                ck = _CuckooTable.build(h1, h2, headroom=2.0)
+            tmp = new_path + f".tmp{os.getpid()}.npz"
+            np.savez_compressed(
+                tmp, bitmap=bitmap, m=np.int64(m), k=np.int64(k), n=np.int64(n_total),
+                ck_table=ck.table, ck_saturated=np.int8(ck.saturated),
+            )
+            os.replace(tmp, new_path)
+            return pd.DataFrame(
+                {"domain_hash": [bucket], "n_keys": [n_total], "rebuilt": [False]}
+            )
+
+        res = (
+            delta.select("url_sha1", "domain_hash")
+            .groupBy("domain_hash")
+            .applyInPandas(delta_segment, schema="domain_hash int, n_keys long, rebuilt boolean")
+            .collect()
+        )
+        # buckets whose headroom ran out: full rebuild from seen, those only
+        rebuild = [r["domain_hash"] for r in res if r["rebuilt"]]
+        if rebuild:
+            self.build(seen.filter(F.col("domain_hash").isin(rebuild)), version)
+        # carry over untouched buckets (hardlink — no data copied)
+        touched = {r["domain_hash"] for r in res}
+        if os.path.isdir(prev_dir):
+            for fname in os.listdir(prev_dir):
+                bucket = int(fname[3:8])
+                if bucket not in touched:
+                    dst = os.path.join(out_dir, fname)
+                    if not os.path.exists(dst):
+                        os.link(os.path.join(prev_dir, fname), dst)
         return {r["domain_hash"]: r["n_keys"] for r in res}
 
     # ---------- probe ----------
@@ -178,13 +271,25 @@ class _CuckooTable:
         return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
 
     @classmethod
-    def build(cls, h1: np.ndarray, h2: np.ndarray) -> "_CuckooTable":
+    def build(cls, h1: np.ndarray, h2: np.ndarray, headroom: float = 1.0) -> "_CuckooTable":
         n = len(h1)
-        nb = max(8, 1 << int(np.ceil(np.log2(max(1, n) / cls.SLOTS / 0.84 + 1))))
+        nb = max(8, 1 << int(np.ceil(np.log2(max(1, int(n * headroom)) / cls.SLOTS / 0.84 + 1))))
         table = np.zeros((nb, cls.SLOTS), dtype=np.uint16)
+        t = cls(table, saturated=False)
+        t.insert_many(h1, h2)
+        return t
+
+    def insert_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Insert keys into the existing table (used by both the full build
+        and the incremental delta path). Marks the table saturated — never a
+        false negative — when an eviction chain exhausts MAX_KICKS."""
+        cls = type(self)
+        table = self.table
+        nb = table.shape[0]
+        n = len(h1)
         fp, i1, i2 = cls._fp_and_buckets(h1, h2, np.uint64(nb))
         rng = np.random.default_rng(12345)  # deterministic eviction choices
-        saturated = False
+        saturated = self.saturated
         for j in range(n):
             f, a, b = int(fp[j]), int(i1[j]), int(i2[j])
             if f in table[a] or f in table[b]:
@@ -214,7 +319,7 @@ class _CuckooTable:
             if not placed:
                 saturated = True
                 break
-        return cls(table, saturated)
+        self.saturated = saturated
 
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         nb = np.uint64(self.table.shape[0])

@@ -107,5 +107,76 @@ def schedule_epoch(
         .drop("capacity")
     )
     if batch_size is not None:
-        admitted = admitted.orderBy(*canonical_order()).limit(batch_size)
+        admitted = global_topk(admitted, batch_size)
     return admitted
+
+
+def _order_key():
+    """Canonical order as one ascending-comparable struct (priority negated)."""
+    return F.struct(
+        (-F.col("priority")).alias("p"),
+        F.col("next_fetch_time").alias("t"),
+        F.col("url_sha1").alias("u"),
+    )
+
+
+def global_topk(df: DataFrame, k: int, n_buckets: int = 64, sample_n: int = 4000) -> DataFrame:
+    """Exact global top-k in canonical order, fully distributed.
+
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject: every partition's
+    top-k funnels into ONE merge task — fine for tiny k, a serial wall for
+    batch caps in the 10^5-10^7 range. Instead:
+
+    1. sample order keys, bake ~n_buckets boundary LITERALS into the plan —
+       the bucket of a row is a pure function of its values, so it is
+       deterministic across jobs (``spark_partition_id`` is NOT: AQE may
+       coalesce the same shuffle differently per query — a correctness trap
+       this function deliberately avoids);
+    2. count rows per bucket (tiny driver collect);
+    3. keep buckets wholly inside the cap; row_number-filter only the single
+       boundary bucket.
+    """
+    key = _order_key()
+    sample = [
+        (r["k"]["p"], r["k"]["t"], r["k"]["u"])
+        for r in df.select(key.alias("k")).sample(0.05, seed=7).limit(sample_n).collect()
+    ]
+    if len(sample) < 8:
+        # tiny input — the single-merge TakeOrdered plan is optimal there
+        return df.orderBy(*canonical_order()).limit(k)
+    sample.sort()
+    step = max(1, len(sample) // n_buckets)
+    boundaries = sample[step::step][: n_buckets - 1]
+
+    def lit_key(b):
+        return F.struct(
+            F.lit(b[0]).cast("double").alias("p"),
+            F.lit(b[1]).cast("timestamp").alias("t"),
+            F.lit(b[2]).alias("u"),
+        )
+
+    bucket = sum(
+        (F.when(key >= lit_key(b), 1).otherwise(0) for b in boundaries), F.lit(0)
+    )
+    bucketed = df.withColumn("_bk", bucket)
+    counts = dict(
+        (r["_bk"], r["n"])
+        for r in bucketed.groupBy("_bk").agg(F.count("*").alias("n")).collect()
+    )
+    taken = 0
+    boundary_bk, quota = None, 0
+    for bk in sorted(counts):
+        if taken + counts[bk] <= k:
+            taken += counts[bk]
+        else:
+            boundary_bk, quota = bk, k - taken
+            break
+    if boundary_bk is None:  # fewer than k rows in total
+        return bucketed.drop("_bk")
+    w = Window.partitionBy("_bk").orderBy(*canonical_order())
+    return (
+        bucketed.filter(F.col("_bk") <= boundary_bk)
+        .withColumn("_grn", F.row_number().over(w))
+        .filter((F.col("_bk") < boundary_bk) | (F.col("_grn") <= quota))
+        .drop("_bk", "_grn")
+    )

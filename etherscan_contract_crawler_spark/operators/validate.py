@@ -25,7 +25,9 @@ def validate_payload_row(p: dict) -> bool:
     """Single-payload validation (shared by the fused fetch+validate stage):
     decode bytes, compare against the regenerated reference — exact pixels
     for lossless, PSNR >= 40 dB for lossy, caption + dims + fmt + phash."""
-    ref = payload_for_key(p["image_id"], encode=False)
+    # lossless path re-hashes the decoded pixels itself — skip the reference
+    # phash there (one phash per URL instead of two); lossy still needs it
+    ref = payload_for_key(p["image_id"], encode=False, with_phash=p["fmt"] != "png")
     try:
         px = decode_image(p["bytes"])
     except Exception:

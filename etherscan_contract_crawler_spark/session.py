@@ -23,6 +23,13 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # ParallelGC with a capped thread count and a fixed young gen: G1 on this
+    # VM's memory subsystem anti-scales catastrophically under >8 concurrent
+    # task threads (measured 3-5x wall-clock inflation on identical jobs,
+    # BASELINE.md §sandbox-noise); throughput GC removes it entirely.
+    gc_opts = (
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={min(cpus, 8)} -Xmn2g"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -35,6 +42,7 @@ def get_spark(
         # (SURVEY.md §7 "binary payloads through Arrow")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )

@@ -93,14 +93,16 @@ def write_seed_csv(rows: list[dict], path: str) -> None:
             w.writerow([r["block"] or "", r["tx_hash"] or "", r["url"], r["priority"]])
 
 
-def payload_for_key(key_hex: str, encode: bool = True) -> dict:
+def payload_for_key(key_hex: str, encode: bool = True, with_phash: bool = True) -> dict:
     """Deterministic image+caption payload for a url key (FIXTURES.md §1).
 
     RNG is keyed by the first 16 hex chars of the key, so any worker (and the
     test oracle) regenerates the identical payload independently.
     ``encode=False`` skips the container encode (validators only need the
-    reference pixels/caption/phash — re-encoding them would double the cost).
-    """
+    reference pixels/caption/phash — re-encoding them would double the cost);
+    ``with_phash=False`` additionally skips the reference phash (the lossless
+    validation path re-hashes the decoded pixels itself, so hashing the
+    reference too would be a third phash per URL)."""
     rng = np.random.default_rng(int(key_hex[:16], 16))
     w = int(rng.choice([32, 64, 128]))
     h = int(rng.choice([32, 64, 128]))
@@ -117,7 +119,7 @@ def payload_for_key(key_hex: str, encode: bool = True) -> dict:
         "h": h,
         "fmt": fmt,
         "caption": caption,
-        "phash": phash64(pixels),
+        "phash": phash64(pixels) if with_phash else None,
         "_pixels": pixels,  # for oracles/tests only; never shipped through Spark
     }
 

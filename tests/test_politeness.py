@@ -86,3 +86,32 @@ def test_robots_filter(spark, tiny_seeds_df):
     sched = schedule_epoch(pending, robots=robots, epoch_duration_s=10)
     assert sched.filter(F.col("domain") == d).count() == 0
     assert sched.count() > 0
+
+
+def test_global_topk_matches_order_limit(spark):
+    import random
+
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        canonical_order,
+        global_topk,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (
+            f"k{rng.randrange(10**6):07d}",
+            float(rng.randrange(100)),  # many priority ties
+            "2026-01-01 00:00:00",
+        )
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "url_sha1 string, priority double, nft string").select(
+        "url_sha1", "priority", F.col("nft").cast("timestamp").alias("next_fetch_time")
+    )
+    for k in (1, 137, 4999, 5000, 9000):
+        expect = [r["url_sha1"] for r in df.orderBy(*canonical_order()).limit(k).collect()]
+        got = [
+            r["url_sha1"]
+            for r in global_topk(df, k).orderBy(*canonical_order()).collect()
+        ]
+        assert got == expect, k
