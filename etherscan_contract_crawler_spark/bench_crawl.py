@@ -135,7 +135,15 @@ def main() -> None:
         ),
         fetch_session_factory=fetcher,
     )
-    eng.bootstrap(seeds)
+    boot = eng.bootstrap(seeds)
+    if boot.get("rejected"):
+        import sys
+
+        print(
+            f"warning: {boot['rejected']} seed rows rejected by the validity filter "
+            f"({boot['frontier_rows']} ingested)",
+            file=sys.stderr,
+        )
     first_epoch = 0
     if args.warmup_batch:
         eng.cfg.batch_size = args.warmup_batch
