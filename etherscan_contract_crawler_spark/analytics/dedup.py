@@ -67,13 +67,36 @@ def shingle_df(docs: DataFrame, n: int = 3, key_col: str = "doc_id") -> DataFram
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, key_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    key_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    ``max_doc_freq`` is the scale guard (r1 VERDICT #6): a stop-shingle
+    shared by 10^6 docs makes one quadratic join bucket; with a cutoff,
+    shingles whose document frequency exceeds it are dropped from the
+    inverted index (the candidate join) while doc sizes stay exact — the
+    reported jaccard becomes a LOWER bound and the operator is approximate
+    (pairs similar only through ubiquitous shingles can be missed, which is
+    normally the point). ``None`` keeps the operator exact — the oracle
+    configuration the driver checks.
+    """
     sh = shingle_df(docs, n, key_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    idx = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle", "left_semi")
+    a = idx.alias("a")
+    b = idx.alias("b")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -99,28 +99,43 @@ def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH. Each vector gets an n_planes-bit
-    signature (sign of dot with pseudo-random planes derived deterministically
-    from (seed, plane, dim) via xxhash64 — no stored plane matrix, any worker
-    regenerates it); candidates = same-bucket pairs only. Approximate —
-    recall depends on n_planes; the exact operator above is the oracle."""
+    """Scale path: random-hyperplane LSH with OR-amplification.
 
-    def signature(df, vid):
-        dims = F.size(F.col(vec_col))
-        # plane p component d = (xxhash64(seed,p,d) % 1001 - 500) / 500.0
-        def plane_dot(p):
+    Each vector gets ``n_tables`` independent ``n_planes``-bit signatures
+    (sign of dot with pseudo-random planes derived deterministically from
+    (seed, table, plane, dim) via xxhash64 — no stored plane matrix, any
+    worker regenerates it). Candidates = pairs colliding in AT LEAST ONE
+    table — a single table's recall collapses for weakly-similar neighbors
+    (per-plane collision p ≈ 1-θ/π, so p^b is tiny at b=6; measured ~0.05
+    recall@5 on the embeddings fixture), while 1-(1-p^b)^L with L tables
+    restores it (recall floor pinned by tests/test_analytics_extra.py).
+    Candidates are DEDUPED across tables before any scoring, so each pair's
+    cosine is computed once; the shuffle cost scales with L (the classic LSH
+    knob: more tables = more recall, more shuffle). Approximate — the exact
+    operator above is the oracle.
+    """
+    tables = F.sequence(F.lit(0), F.lit(n_tables - 1))
+    dims_of = lambda v: F.size(v)  # noqa: E731
+
+    def signatures(df, vid):
+        # one row per (vector, table): bucket_t = n_planes sign bits
+        dims = dims_of(F.col(vec_col))
+
+        def plane_dot(t, p):
             return F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
                     F.transform(
                         F.sequence(F.lit(0), dims - 1),
                         lambda d: (
-                            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(1001)) - 500
+                            F.pmod(F.xxhash64(F.lit(seed), t, F.lit(p), d), F.lit(1001))
+                            - 500
                         ).cast("double")
                         / 500.0,
                     ),
@@ -130,17 +145,31 @@ def lsh_bucket_topk(
                 lambda acc, v: acc + v,
             )
 
-        sig = None
-        for p in range(n_planes):
-            bit = F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
-        return df.select(F.col(id_col).alias(vid), F.col(vec_col), sig.alias("bucket"))
+        def bucket_for(t):
+            sig = None
+            for p in range(n_planes):
+                bit = F.when(plane_dot(t, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                sig = bit if sig is None else sig + bit
+            return sig
 
-    q = signature(queries, "query_id").withColumnRenamed(vec_col, "qv")
-    c = signature(embeddings, "neighbor_id").withColumnRenamed(vec_col, "cv")
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+        return df.select(
+            F.col(id_col).alias(vid),
+            F.explode(F.transform(tables, lambda t: F.struct(t.alias("t"), bucket_for(t).alias("bucket")))).alias("tb"),
+        ).select(vid, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    q_sig = signatures(queries, "query_id")
+    c_sig = signatures(embeddings, "neighbor_id")
+    candidates = (
+        c_sig.join(F.broadcast(q_sig), ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn(
             "score",
             F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),

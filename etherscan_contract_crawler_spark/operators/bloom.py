@@ -1,14 +1,30 @@
 """Segmented Bloom + cuckoo URL-seen pre-filter (SURVEY.md §4, M3).
 
 Why segmented: at the 10^10-key target a single Bloom filter is ~11.2 GiB of
-bits at 1% FPR — un-broadcastable. Segments are keyed by the SAME
-``domain_hash`` bucketing as the frontier, so a probe task loads exactly one
-segment (its own bucket) from the segment store; nothing is broadcast at full
-scale. (For per-epoch deltas / small scale a broadcast would also work; the
-store path is the scale path and is what's implemented.)
+bits at 1% FPR — un-broadcastable. Segmentation is TWO-LEVEL:
 
-Build and probe are both ``applyInPandas`` grouped ops over ``domain_hash``
-— Arrow-batched, numpy-vectorized inside, zero per-row Python.
+  * level 1 — ``domain_hash`` bucket, the SAME bucketing as the frontier, so
+    probe/build tasks co-partition with the frontier shuffle;
+  * level 2 — ``_sub`` sub-segment within a bucket, derived from an
+    independent slice of the sha1 digest, with ``n_sub = ceil(bucket_keys /
+    target_keys_per_segment)``. This is what makes the store scale-aware:
+    per-task memory is bounded by ``target_keys_per_segment`` (~15 MB bitmap
+    + ~20 MB cuckoo at the default 4M keys/segment) no matter how many keys
+    a bucket accumulates, and probe parallelism grows with the key count
+    (10^10 keys → ~2.5k segment tasks) instead of being capped at the bucket
+    count. The sub count per bucket lives in the version's ``meta.json`` and
+    is recomputed whenever a bucket is fully rebuilt.
+
+Build and probe are both ``applyInPandas`` grouped ops over
+``(domain_hash, _sub)`` — Arrow-batched, numpy-vectorized inside, zero
+per-row Python on the insert path (the cuckoo eviction loop only runs for
+the <1% of keys both of whose buckets fill during the vectorized passes).
+
+Versions publish ATOMICALLY: segments build into ``v{N}.tmp`` and the dir is
+renamed to ``v{N}`` only after every delta write, rebuild, and hardlink has
+completed — a crash mid-build leaves no partial version that ``versions()``
+could mistake for complete (pending()'s staleness guard then degrades to the
+exact anti-join, which is always correct).
 
 Guarantees (property-tested): the Bloom has NO false negatives; the cuckoo
 refinement never rejects a true member (saturated segments degrade to
@@ -16,7 +32,8 @@ bloom-only). A false *positive* only costs an extra probe in the exact
 anti-join backstop — set parity is never at risk (SURVEY.md M3).
 
 Hashing: url_sha1 is already a uniform 160-bit digest; h1/h2 are its first
-two 64-bit words, bit_i = (h1 + i*h2) mod m (standard double hashing).
+two 64-bit words, bit_i = (h1 + i*h2) mod m (standard double hashing); the
+sub-segment key uses hex chars 33-40 (bits 128-160), independent of h1/h2.
 
 Reference analog: the in-memory ``set`` seen-check
 (blockchain-multichain-monitor.py:28, :83-85) and dir-existence probes
@@ -25,7 +42,10 @@ Reference analog: the in-memory ``set`` seen-check
 
 from __future__ import annotations
 
+import json
+import math
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -55,95 +75,227 @@ def _bloom_params(
     return m, n_hashes
 
 
-class SegmentStore:
-    """Filesystem-backed, versioned bloom+cuckoo segments, one per bucket.
+def _or_bits(bitmap: np.ndarray, idx: np.ndarray) -> None:
+    """OR bit positions ``idx`` into ``bitmap`` (uint8, little-bit-endian).
 
-    Layout: ``{root}/v{version:06d}/seg{bucket:05d}.npz``. On a cluster the
-    root is shared storage (HDFS/S3 via a local mount or download-to-tmp);
-    each task touches only its own bucket's file.
+    sort + reduceat instead of np.bitwise_or.at: ufunc.at is unbuffered and
+    ~50x slower; this is the hot loop of a 10^7-key-per-segment build.
+    """
+    u = np.unique(idx)  # sorted unique bit positions
+    if not len(u):
+        return
+    byte = (u >> np.uint64(3)).astype(np.int64)
+    val = (np.uint8(1) << (u & np.uint64(7)).astype(np.uint8))
+    starts = np.flatnonzero(np.diff(byte, prepend=byte[0] - 1))
+    bitmap[byte[starts]] |= np.bitwise_or.reduceat(val, starts)
+
+
+def _bloom_insert(bitmap: np.ndarray, m: int, k: int, h1: np.ndarray, h2: np.ndarray) -> None:
+    mm = np.uint64(m)
+    for i in range(k):
+        _or_bits(bitmap, (h1 + np.uint64(i) * h2) % mm)
+
+
+class SegmentStore:
+    """Filesystem-backed, versioned bloom+cuckoo segments.
+
+    Layout: ``{root}/v{version:06d}/seg{bucket:05d}_{sub:04d}.npz`` plus a
+    ``meta.json`` mapping bucket -> (n_sub, n_keys). On a cluster the root is
+    shared storage (HDFS/S3 via a local mount or download-to-tmp); each task
+    touches only its own segment's file.
     """
 
-    def __init__(self, root: str, n_buckets: int, bits_per_key: int = 12, n_hashes: int = 7):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int,
+        bits_per_key: int = 12,
+        n_hashes: int = 7,
+        target_keys_per_segment: int = 4_000_000,
+    ):
         self.root = root
         self.n_buckets = n_buckets
         self.bits_per_key = bits_per_key
         self.n_hashes = n_hashes
+        self.target_keys = target_keys_per_segment
 
-    def _seg_path(self, version: int, bucket: int) -> str:
-        return os.path.join(self.root, f"v{version:06d}", f"seg{bucket:05d}.npz")
+    # ---------- paths / metadata ----------
+    def _ver_dir(self, version: int, tmp: bool = False) -> str:
+        d = os.path.join(self.root, f"v{version:06d}")
+        return d + ".tmp" if tmp else d
+
+    @staticmethod
+    def _seg_name(bucket: int, sub: int) -> str:
+        return f"seg{bucket:05d}_{sub:04d}.npz"
 
     def versions(self) -> list[int]:
+        """Published (complete) versions only — .tmp build dirs are invisible."""
         if not os.path.isdir(self.root):
             return []
-        return sorted(int(d[1:]) for d in os.listdir(self.root) if d.startswith("v"))
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and not d.endswith(".tmp") and d[1:].isdigit()
+        )
+
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` published versions (plus any
+        stale .tmp build dirs). Segments are hardlinked across versions, so
+        expiry reclaims real space only once the last version referencing a
+        file goes; the per-epoch dir count stays bounded either way."""
+        if not os.path.isdir(self.root):
+            return []
+        vs = self.versions()
+        expired = vs[:-keep_last] if keep_last > 0 else vs
+        for v in expired:
+            shutil.rmtree(self._ver_dir(v), ignore_errors=True)
+        for d in os.listdir(self.root):
+            if d.endswith(".tmp") and int(d[1:-4]) <= max(vs, default=-1):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return expired
+
+    def _meta(self, version: int) -> dict:
+        with open(os.path.join(self._ver_dir(version), "meta.json")) as f:
+            raw = json.load(f)
+        return {
+            "n_sub": {int(k): int(v) for k, v in raw["n_sub"].items()},
+            "n_keys": {int(k): int(v) for k, v in raw["n_keys"].items()},
+        }
+
+    def _write_meta(self, build_dir: str, n_sub: dict[int, int], n_keys: dict[int, int]) -> None:
+        tmp = os.path.join(build_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"n_sub": {str(k): v for k, v in n_sub.items()},
+                 "n_keys": {str(k): v for k, v in n_keys.items()},
+                 "target_keys_per_segment": self.target_keys},
+                f,
+            )
+        os.replace(tmp, os.path.join(build_dir, "meta.json"))
+
+    def _publish(self, version: int) -> None:
+        """Atomic version flip: the complete build dir replaces v{N} in one
+        rename. A crash before this line leaves only a .tmp dir that
+        versions() ignores — never a half-built live version (ADVICE r1)."""
+        final = self._ver_dir(version)
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # replayed epoch: discard the old complete build
+        os.rename(self._ver_dir(version, tmp=True), final)
+
+    def _with_sub(self, df: DataFrame, n_sub: dict[int, int]) -> DataFrame:
+        """Append the sub-segment key. The Spark expression is the single
+        source of truth (numpy side never re-derives it): hex chars 33-40 of
+        the sha1, mod the bucket's n_sub from a broadcast tiny dim."""
+        spark = df.sparkSession
+        rows = [(int(b), int(s)) for b, s in n_sub.items()]
+        if not rows:
+            return df.withColumn("_sub", F.lit(0))
+        dim = spark.createDataFrame(rows, "domain_hash int, _n_sub int")
+        out = df.join(F.broadcast(dim), "domain_hash", "left")
+        sub = (
+            F.when(F.col("_n_sub").isNull() | (F.col("_n_sub") <= 1), F.lit(0))
+            .otherwise(
+                F.pmod(
+                    F.conv(F.substring("url_sha1", 33, 8), 16, 10).cast("long"),
+                    F.col("_n_sub"),
+                )
+            )
+            .cast("int")
+        )
+        return out.withColumn("_sub", sub).drop("_n_sub")
+
+    def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
+        return {
+            int(r["domain_hash"]): int(r["n"])
+            for r in df.groupBy("domain_hash").agg(F.count("*").alias("n")).collect()
+        }
+
+    def _n_sub_for(self, counts: dict[int, int]) -> dict[int, int]:
+        return {b: max(1, math.ceil(c / self.target_keys)) for b, c in counts.items()}
 
     # ---------- build ----------
     def build(self, seen: DataFrame, version: int) -> dict[int, int]:
-        """Build segments from the url_seen table (cols url_sha1, domain_hash).
+        """Full build from the url_seen table (cols url_sha1, domain_hash).
 
         Returns {bucket: n_keys} (recorded in snapshot lineage as the bloom
-        segment version map). Distributed: one grouped-map task per bucket.
+        segment version map). Distributed: one grouped-map task per
+        (bucket, sub) segment; per-task memory bounded by
+        target_keys_per_segment.
         """
-        out_dir = os.path.join(self.root, f"v{version:06d}")
-        os.makedirs(out_dir, exist_ok=True)
+        counts = self._bucket_counts(seen)
+        n_sub = self._n_sub_for(counts)
+        build_dir = self._ver_dir(version, tmp=True)
+        shutil.rmtree(build_dir, ignore_errors=True)
+        os.makedirs(build_dir, exist_ok=True)
+        self._build_into(build_dir, seen, n_sub)
+        self._write_meta(build_dir, n_sub, counts)
+        self._publish(version)
+        return counts
+
+    def _build_into(self, build_dir: str, seen: DataFrame, n_sub: dict[int, int]) -> None:
         bits_per_key, n_hashes = self.bits_per_key, self.n_hashes
-        seg_path_tpl = os.path.join(out_dir, "seg{:05d}.npz")
+        seg_name = self._seg_name
 
         def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(pdf["domain_hash"].iloc[0])
+            bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
             n = len(pdf)
             m, k = _bloom_params(n, bits_per_key, n_hashes)
             h1, h2 = _h1h2(pdf["url_sha1"])
             bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-            mm = np.uint64(m)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % mm
-                np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
-                                 np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            _bloom_insert(bitmap, m, k, h1, h2)
             ck = _CuckooTable.build(h1, h2, headroom=2.0)
+            path = os.path.join(build_dir, seg_name(bucket, sub))
             # savez appends '.npz' unless the name already ends with it
-            tmp = seg_path_tpl.format(bucket) + f".tmp{os.getpid()}.npz"
+            tmp = path + f".tmp{os.getpid()}.npz"
             np.savez_compressed(
                 tmp, bitmap=bitmap, m=np.int64(m), k=np.int64(k), n=np.int64(n),
                 ck_table=ck.table, ck_saturated=np.int8(ck.saturated),
             )
-            os.replace(tmp, seg_path_tpl.format(bucket))
-            return pd.DataFrame({"domain_hash": [bucket], "n_keys": [n]})
+            os.replace(tmp, path)
+            return pd.DataFrame({"domain_hash": [bucket], "_sub": [sub], "n_keys": [n]})
 
-        res = (
-            seen.select("url_sha1", "domain_hash")
-            .groupBy("domain_hash")
-            .applyInPandas(build_segment, schema="domain_hash int, n_keys long")
+        (
+            self._with_sub(seen.select("url_sha1", "domain_hash"), n_sub)
+            .groupBy("domain_hash", "_sub")
+            .applyInPandas(build_segment, schema="domain_hash int, _sub int, n_keys long")
             .collect()
         )
-        return {r["domain_hash"]: r["n_keys"] for r in res}
 
     def build_delta(
         self, delta: DataFrame, seen: DataFrame, prev_version: int | None, version: int
     ) -> dict[int, int]:
-        """Incremental segment build: OR the epoch's new keys into the
-        previous version's segments instead of rescanning the whole seen set.
+        """Incremental build: OR the epoch's new keys into the previous
+        version's segments instead of rescanning the whole seen set.
 
         At the 10^10-key target a full rebuild per epoch is O(total) and
         grows without bound; this is O(epoch delta). Segments are sized with
-        2x headroom (``_bloom_params``), so a bucket only needs a full
-        rebuild (from ``seen``, restricted to that bucket) after it roughly
-        doubles; untouched buckets are hardlinked into the new version dir.
-        Falls back to a full build when there is no previous version.
+        2x headroom (``_bloom_params``), so a sub-segment only triggers a
+        full rebuild of its bucket (which also recomputes the bucket's
+        n_sub, keeping segments at target size) after it roughly doubles;
+        untouched segments are hardlinked into the new version dir. Falls
+        back to a full build when there is no previous version.
         """
         if prev_version is None:
             return self.build(seen, version)
-        out_dir = os.path.join(self.root, f"v{version:06d}")
-        os.makedirs(out_dir, exist_ok=True)
-        prev_dir = os.path.join(self.root, f"v{prev_version:06d}")
+        prev_meta = self._meta(prev_version)
+        prev_n_sub, prev_n_keys = prev_meta["n_sub"], prev_meta["n_keys"]
+        build_dir = self._ver_dir(version, tmp=True)
+        shutil.rmtree(build_dir, ignore_errors=True)
+        os.makedirs(build_dir, exist_ok=True)
+        prev_dir = self._ver_dir(prev_version)
         bits_per_key = self.bits_per_key
-        store = self
-        pv = prev_version
+        seg_name = self._seg_name
+
+        delta_counts = self._bucket_counts(delta)
+        # new buckets get their own n_sub from the delta size alone
+        eff_n_sub = dict(prev_n_sub)
+        for b, c in delta_counts.items():
+            eff_n_sub.setdefault(b, max(1, math.ceil(c / self.target_keys)))
 
         def delta_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(pdf["domain_hash"].iloc[0])
-            prev_path = store._seg_path(pv, bucket)
-            new_path = store._seg_path(version, bucket)
+            bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
+            prev_path = os.path.join(prev_dir, seg_name(bucket, sub))
+            new_path = os.path.join(build_dir, seg_name(bucket, sub))
             h1, h2 = _h1h2(pdf["url_sha1"])
             if os.path.exists(prev_path):
                 seg = np.load(prev_path)
@@ -151,30 +303,18 @@ class SegmentStore:
                 n_total = n_prev + len(pdf)
                 if n_total * bits_per_key > m:  # headroom exhausted
                     return pd.DataFrame(
-                        {"domain_hash": [bucket], "n_keys": [n_total], "rebuilt": [True]}
+                        {"domain_hash": [bucket], "n_new": [len(pdf)], "rebuilt": [True]}
                     )
                 bitmap = seg["bitmap"].copy()
-                mm = np.uint64(m)
-                for i in range(k):
-                    idx = (h1 + np.uint64(i) * h2) % mm
-                    np.bitwise_or.at(
-                        bitmap, (idx >> np.uint64(3)).astype(np.int64),
-                        np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
-                    )
+                _bloom_insert(bitmap, m, k, h1, h2)
                 ck = _CuckooTable(seg["ck_table"].copy(), saturated=bool(seg["ck_saturated"]))
                 if not ck.saturated:
                     ck.insert_many(h1, h2)
-            else:  # brand-new bucket: fresh segment from the delta alone
+            else:  # brand-new segment: fresh from the delta alone
                 n_total = len(pdf)
                 m, k = _bloom_params(n_total, bits_per_key)
                 bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-                mm = np.uint64(m)
-                for i in range(k):
-                    idx = (h1 + np.uint64(i) * h2) % mm
-                    np.bitwise_or.at(
-                        bitmap, (idx >> np.uint64(3)).astype(np.int64),
-                        np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
-                    )
+                _bloom_insert(bitmap, m, k, h1, h2)
                 ck = _CuckooTable.build(h1, h2, headroom=2.0)
             tmp = new_path + f".tmp{os.getpid()}.npz"
             np.savez_compressed(
@@ -183,42 +323,63 @@ class SegmentStore:
             )
             os.replace(tmp, new_path)
             return pd.DataFrame(
-                {"domain_hash": [bucket], "n_keys": [n_total], "rebuilt": [False]}
+                {"domain_hash": [bucket], "n_new": [len(pdf)], "rebuilt": [False]}
             )
 
         res = (
-            delta.select("url_sha1", "domain_hash")
-            .groupBy("domain_hash")
-            .applyInPandas(delta_segment, schema="domain_hash int, n_keys long, rebuilt boolean")
+            self._with_sub(delta.select("url_sha1", "domain_hash"), eff_n_sub)
+            .groupBy("domain_hash", "_sub")
+            .applyInPandas(delta_segment, schema="domain_hash int, n_new long, rebuilt boolean")
             .collect()
         )
-        # buckets whose headroom ran out: full rebuild from seen, those only
-        rebuild = [r["domain_hash"] for r in res if r["rebuilt"]]
+        n_keys = dict(prev_n_keys)
+        for b, c in delta_counts.items():
+            n_keys[b] = n_keys.get(b, 0) + c
+        # buckets whose headroom ran out: full rebuild from seen, those only,
+        # with n_sub recomputed so segments return to target size
+        rebuild = sorted({r["domain_hash"] for r in res if r["rebuilt"]})
         if rebuild:
-            self.build(seen.filter(F.col("domain_hash").isin(rebuild)), version)
-        # carry over untouched buckets (hardlink — no data copied)
-        touched = {r["domain_hash"] for r in res}
-        if os.path.isdir(prev_dir):
-            for fname in os.listdir(prev_dir):
-                bucket = int(fname[3:8])
-                if bucket not in touched:
-                    dst = os.path.join(out_dir, fname)
-                    if not os.path.exists(dst):
-                        os.link(os.path.join(prev_dir, fname), dst)
-        return {r["domain_hash"]: r["n_keys"] for r in res}
+            sub_seen = seen.filter(F.col("domain_hash").isin(rebuild))
+            rb_counts = self._bucket_counts(sub_seen)
+            rb_n_sub = self._n_sub_for(rb_counts)
+            # drop any partial delta writes for rebuilt buckets, then rebuild
+            for b in rebuild:
+                for f in os.listdir(build_dir):
+                    if f.startswith(f"seg{b:05d}_"):
+                        os.remove(os.path.join(build_dir, f))
+            self._build_into(build_dir, sub_seen, rb_n_sub)
+            eff_n_sub.update(rb_n_sub)
+            n_keys.update(rb_counts)
+        # carry over untouched segments (hardlink — no data copied)
+        rebuilt_set = set(rebuild)
+        for fname in os.listdir(prev_dir):
+            if not fname.startswith("seg"):
+                continue
+            bucket = int(fname[3:8])
+            if bucket in rebuilt_set:
+                continue
+            dst = os.path.join(build_dir, fname)
+            if not os.path.exists(dst):
+                os.link(os.path.join(prev_dir, fname), dst)
+        self._write_meta(build_dir, eff_n_sub, n_keys)
+        self._publish(version)
+        return n_keys
 
     # ---------- probe ----------
     def probe(self, candidates: DataFrame, version: int) -> DataFrame:
         """Add ``bloom_maybe: boolean`` — False means DEFINITELY unseen.
 
-        Grouped by domain_hash so each task reads one segment file once.
+        Grouped by (domain_hash, sub) so each task reads one bounded segment
+        file once; parallelism = total segment count, which scales with the
+        key count rather than the bucket count.
         """
-        seg_path = self._seg_path  # bound method is picklable via self
-        store = self
+        meta = self._meta(version)
+        ver_dir = self._ver_dir(version)
+        seg_name = self._seg_name
 
         def probe_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(pdf["domain_hash"].iloc[0])
-            path = store._seg_path(version, bucket)
+            bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
+            path = os.path.join(ver_dir, seg_name(bucket, sub))
             if not os.path.exists(path):
                 pdf["bloom_maybe"] = False
                 return pdf
@@ -239,11 +400,16 @@ class SegmentStore:
 
         from pyspark.sql import types as T
 
+        with_sub = self._with_sub(candidates, meta["n_sub"])
         # StructType.add mutates in place — build a fresh copy
         schema = T.StructType(
-            list(candidates.schema.fields) + [T.StructField("bloom_maybe", T.BooleanType())]
+            list(with_sub.schema.fields) + [T.StructField("bloom_maybe", T.BooleanType())]
         )
-        return candidates.groupBy("domain_hash").applyInPandas(probe_segment, schema=schema)
+        return (
+            with_sub.groupBy("domain_hash", "_sub")
+            .applyInPandas(probe_segment, schema=schema)
+            .drop("_sub")
+        )
 
 
 class _CuckooTable:
@@ -254,6 +420,11 @@ class _CuckooTable:
     learned-cuckoo entry for the design space). Never produces a false
     negative: if any insert fails after max kicks the table is marked
     saturated and the probe stage skips it.
+
+    ``insert_many`` is bulk-vectorized (r1 VERDICT top item): keys are placed
+    with numpy group-rank scatters — two passes over (i1, i2) each — and only
+    the residue whose both buckets filled (<1% at 0.84 load) falls back to
+    the per-key eviction loop.
     """
 
     SLOTS = 4
@@ -280,17 +451,62 @@ class _CuckooTable:
         return t
 
     def insert_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        """Insert keys into the existing table (used by both the full build
-        and the incremental delta path). Marks the table saturated — never a
-        false negative — when an eviction chain exhausts MAX_KICKS."""
+        """Vectorized bulk insert. Marks the table saturated — never a false
+        negative — when the slow-path eviction chain exhausts MAX_KICKS."""
+        if self.saturated or not len(h1):
+            return
+        table = self.table
+        nb = table.shape[0]
+        fp, i1, i2 = self._fp_and_buckets(h1, h2, np.uint64(nb))
+        # skip keys already present (same check contains() applies)
+        present = (table[i1] == fp[:, None]).any(axis=1) | (
+            table[i2] == fp[:, None]
+        ).any(axis=1)
+        if present.any():
+            keep = ~present
+            fp, i1, i2 = fp[keep], i1[keep], i2[keep]
+        # drop intra-batch duplicates: same fingerprint + same bucket pair is
+        # one membership witness (the pair is orderless: i2 = f(i1, fp))
+        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+        _, uidx = np.unique(
+            np.stack([fp.astype(np.int64), lo, hi]), axis=1, return_index=True
+        )
+        if len(uidx) < len(fp):
+            uidx.sort()
+            fp, i1, i2 = fp[uidx], i1[uidx], i2[uidx]
+        pending = np.ones(len(fp), dtype=bool)
+        for buckets in (i1, i2, i1, i2):
+            if not pending.any():
+                break
+            idx = np.flatnonzero(pending)
+            b = buckets[idx]
+            touched = np.unique(b)
+            # compact occupied slots to the left (slot order is meaningless)
+            rows = table[touched]
+            order = np.argsort(rows == 0, axis=1, kind="stable")
+            rows = np.take_along_axis(rows, order, axis=1)
+            table[touched] = rows
+            occ = (rows != 0).sum(axis=1)
+            # group-rank each key within its bucket, place at occ + rank
+            so = np.argsort(b, kind="stable")
+            bs = b[so]
+            rank = np.arange(len(bs)) - np.searchsorted(bs, bs, side="left")
+            slot = occ[np.searchsorted(touched, bs)] + rank
+            ok = slot < self.SLOTS
+            table[bs[ok], slot[ok]] = fp[idx[so[ok]]]
+            pending[idx[so[ok]]] = False
+        if pending.any():
+            self._insert_evict(fp[pending], i1[pending], i2[pending])
+
+    def _insert_evict(self, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> None:
+        """Per-key eviction fallback for the rare both-buckets-full residue."""
         cls = type(self)
         table = self.table
         nb = table.shape[0]
-        n = len(h1)
-        fp, i1, i2 = cls._fp_and_buckets(h1, h2, np.uint64(nb))
         rng = np.random.default_rng(12345)  # deterministic eviction choices
         saturated = self.saturated
-        for j in range(n):
+        mult, mask = int(_FP_MULT), nb - 1
+        for j in range(len(fp)):
             f, a, b = int(fp[j]), int(i1[j]), int(i2[j])
             if f in table[a] or f in table[b]:
                 continue
@@ -304,7 +520,6 @@ class _CuckooTable:
             if placed:
                 continue
             cur, fcur = a, f
-            mult, mask = int(_FP_MULT), nb - 1
             for _ in range(cls.MAX_KICKS):
                 slot = int(rng.integers(0, cls.SLOTS))
                 fcur, table[cur, slot] = int(table[cur, slot]), fcur

@@ -137,13 +137,22 @@ def global_topk(df: DataFrame, k: int, n_buckets: int = 64, sample_n: int = 4000
        boundary bucket.
     """
     key = _order_key()
+    # the upstream scheduling DAG (two windows over the full pending set) is
+    # executed by three jobs here (sample, bucket counts, consumer) — persist
+    # it for the duration so it runs ONCE, and so all three jobs see the
+    # identical row set (determinism no longer rests on the DAG re-evaluating
+    # identically under AQE/retries — r1 ADVICE)
+    df = df.persist()
     sample = [
         (r["k"]["p"], r["k"]["t"], r["k"]["u"])
         for r in df.select(key.alias("k")).sample(0.05, seed=7).limit(sample_n).collect()
     ]
     if len(sample) < 8:
         # tiny input — the single-merge TakeOrdered plan is optimal there
-        return df.orderBy(*canonical_order()).limit(k)
+        out = df.orderBy(*canonical_order()).limit(k).persist()
+        out.count()
+        df.unpersist()
+        return out
     sample.sort()
     step = max(1, len(sample) // n_buckets)
     boundaries = sample[step::step][: n_buckets - 1]
@@ -172,11 +181,19 @@ def global_topk(df: DataFrame, k: int, n_buckets: int = 64, sample_n: int = 4000
             boundary_bk, quota = bk, k - taken
             break
     if boundary_bk is None:  # fewer than k rows in total
-        return bucketed.drop("_bk")
-    w = Window.partitionBy("_bk").orderBy(*canonical_order())
-    return (
-        bucketed.filter(F.col("_bk") <= boundary_bk)
-        .withColumn("_grn", F.row_number().over(w))
-        .filter((F.col("_bk") < boundary_bk) | (F.col("_grn") <= quota))
-        .drop("_bk", "_grn")
-    )
+        out = bucketed.drop("_bk")
+    else:
+        w = Window.partitionBy("_bk").orderBy(*canonical_order())
+        out = (
+            bucketed.filter(F.col("_bk") <= boundary_bk)
+            .withColumn("_grn", F.row_number().over(w))
+            .filter((F.col("_bk") < boundary_bk) | (F.col("_grn") <= quota))
+            .drop("_bk", "_grn")
+        )
+    # materialize the capped batch from the cached input, then release it —
+    # downstream consumers (fetch job, url_seen merge) read this cache, not
+    # a re-run of the scheduling DAG
+    out = out.persist()
+    out.count()
+    df.unpersist()
+    return out

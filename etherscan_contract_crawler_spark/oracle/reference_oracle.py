@@ -30,11 +30,6 @@ from urllib.parse import urlsplit
 from ..sources.synthetic import fetch_outcome
 
 ETH_ADDRESS_RE = re.compile(r"^0x[a-fA-F0-9]{40}$")
-_TWO_LABEL_SUFFIXES = {
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp", "com.au",
-    "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
-    "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
-}
 
 
 def canonicalize_url_py(url: str) -> str:
@@ -56,13 +51,30 @@ def canonicalize_url_py(url: str) -> str:
 
 
 def registrable_domain_py(url: str) -> str:
+    """Pure-python PSL oracle — same rule sets and algorithm as the Spark
+    expression (functions/psl.py): exceptions beat wildcards beat exact,
+    longest match wins, default rule '*'."""
+    from ..functions.psl import PSL_EXACT, PSL_EXCEPTIONS, PSL_WILDCARD
+
     host = (urlsplit(url.strip().split("#", 1)[0]).hostname or "").lower()
     labels = host.split(".")
-    if len(labels) <= 2:
+    n = len(labels)
+    if n <= 1:
         return host
-    if ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    suffix_len = 1
+    for k in (2, 3):
+        if n > k and (
+            ".".join(labels[-k:]) in PSL_EXACT
+            or ".".join(labels[-(k - 1):]) in PSL_WILDCARD
+        ):
+            suffix_len = k
+    for exc in PSL_EXCEPTIONS:
+        k = exc.count(".") + 1
+        if n >= k and ".".join(labels[-k:]) == exc:
+            suffix_len = k - 1
+    if n <= suffix_len:
+        return host
+    return ".".join(labels[-(suffix_len + 1):])
 
 
 def url_key_py(url: str) -> str:

@@ -193,6 +193,64 @@ class SnapshotTable:
             n,
         )
 
+    # ---------- maintenance ----------
+    def compact(self, spark: SparkSession, lineage: dict | None = None) -> int:
+        """Iceberg ``rewrite_data_files`` analog: rewrite the live rows into a
+        single data dir so reads stop touching one dir per epoch (r1 VERDICT
+        #3 — after 10^4 epochs a read would touch 10^4 dirs). The commit is a
+        normal snapshot (op="compact"): prior snapshots stay readable via
+        time travel until ``expire_snapshots`` drops them."""
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        d, _ = self._write_data(self.read(spark), sid)
+        merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
+        return self._commit(
+            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "compact"
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` manifests (the current snapshot is always kept), then
+        GC data dirs no retained manifest references. Bounds metadata and
+        reclaims dirs obsoleted by compaction. Returns expired snapshot ids."""
+        ids = self.snapshot_ids()
+        current = self.current_snapshot_id()
+        keep = set(ids[-keep_last:]) | {current}
+        expired = [sid for sid in ids if sid not in keep]
+        for sid in expired:
+            os.remove(self._manifest_path(sid))
+        self.gc_orphans()
+        return expired
+
+    def gc_orphans(self) -> list[str]:
+        """Remove data-dir entries no manifest references — crash leftovers
+        (.raw staging dirs whose epoch never committed) and dirs stranded by
+        expire_snapshots. Also prunes the valid=false partition inside
+        committed .raw landing dirs (failed-fetch payload bytes are only
+        needed until the dead-letter merge). Single-writer safe: the engine
+        calls this at startup / maintenance points, never mid-commit."""
+        import shutil
+
+        if not os.path.isdir(self._data_dir):
+            return []
+        referenced: set[str] = set()
+        for sid in self.snapshot_ids():
+            for d in self.manifest(sid)["data_dirs"]:
+                rel = os.path.relpath(d, self._data_dir)
+                referenced.add(rel.split(os.sep)[0])
+        removed = []
+        for entry in sorted(os.listdir(self._data_dir)):
+            p = os.path.join(self._data_dir, entry)
+            if entry not in referenced:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(entry)
+            elif entry.endswith(".raw"):
+                stale = os.path.join(p, "valid=false")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+                    removed.append(os.path.join(entry, "valid=false"))
+        return removed
+
     # ---------- reads ----------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)

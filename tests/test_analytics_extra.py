@@ -120,3 +120,53 @@ def test_salted_agg_plan_has_two_aggregations(spark):
     out = salted_agg(df, ["k"], "v", {"n": (F.count("*"), F.sum("n"))})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_ann_lsh_recall_floor(spark):
+    """r1 VERDICT #6: pin ANN recall so future changes can't silently degrade
+    it. The sf0.001 embeddings are near-random (weakly-similar neighbors) —
+    the WORST case for hyperplane LSH — so these floors are conservative;
+    clustered real embeddings sit far above them. Deterministic: planes are
+    xxhash64-derived from the seed, data is fixed."""
+    from etherscan_contract_crawler_spark.analytics.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(20)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(planes, tables):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucket_topk(emb, q, k=5, n_planes=planes, n_tables=tables).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    assert recall(4, 16) >= 0.75  # high-recall configuration (measured 0.91)
+    assert recall(6, 16) >= 0.50  # default configuration (measured 0.59)
+
+
+def test_jaccard_stop_shingle_cutoff(spark):
+    """max_doc_freq drops ubiquitous shingles from the inverted index (the
+    quadratic-bucket guard): genuinely-similar pairs survive, pairs related
+    only through the stop-shingle don't re-enter, and the jaccard reported
+    under the cutoff never exceeds the exact value (lower bound)."""
+    from etherscan_contract_crawler_spark.analytics.dedup import jaccard_pairs
+
+    stop = " the quick brown fox jumps over dog"  # shared by every doc
+    rows = [(i, f"unique text number {i} alpha beta gamma{stop}") for i in range(20)]
+    rows.append((100, "unique text number 0 alpha beta gamma" + stop))  # ~dup of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.1).collect()}
+    cut = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.1, max_doc_freq=5).collect()
+    }
+    assert (0, 100) in exact and exact[(0, 100)] == 1.0  # true near-dup
+    assert (0, 100) in cut  # survives: its unique shingles are below the cutoff
+    for pair, j in cut.items():
+        assert j <= exact.get(pair, 1.0) + 1e-9  # lower bound under cutoff
+    # pairs similar ONLY through stop-shingles are pruned from the index join
+    assert len(cut) < len(exact)

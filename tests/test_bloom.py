@@ -70,6 +70,127 @@ def test_probe_without_segment_marks_all_new(spark, tmp_path):
     assert probed[0].bloom_maybe is False
 
 
+def test_cuckoo_vectorized_insert_high_load():
+    """Bulk insert at ~0.84 load forces the eviction fallback for the residue
+    both of whose buckets fill in the vectorized passes — membership must
+    still be exact (no false negatives) unless the table saturates."""
+    keys = pd.Series(_keys(50_000))
+    h1, h2 = _h1h2(keys)
+    ck = _CuckooTable.build(h1, h2, headroom=1.0)
+    if not ck.saturated:
+        assert ck.contains(h1, h2).all()
+
+
+def test_cuckoo_incremental_insert_matches_bulk():
+    h1, h2 = _h1h2(pd.Series(_keys(8_000)))
+    bulk = _CuckooTable.build(h1, h2, headroom=2.0)
+    inc = _CuckooTable(np.zeros_like(bulk.table), saturated=False)
+    for lo, hi in ((0, 3_000), (3_000, 5_500), (5_500, 8_000)):
+        inc.insert_many(h1[lo:hi], h2[lo:hi])
+    assert not inc.saturated
+    assert inc.contains(h1, h2).all()
+
+
+def test_sub_segmentation_bounds_segment_size(spark, tmp_path):
+    """Scale-aware level-2 segmentation: a bucket holding many keys splits
+    into n_sub bounded sub-segments (r1 VERDICT #1 — per-task memory must not
+    grow with bucket key count)."""
+    import os
+
+    n_buckets, target = 2, 500
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=target)
+    seen = spark.createDataFrame(
+        [(k, int(k[:4], 16) % n_buckets) for k in _keys(4000)],
+        "url_sha1 string, domain_hash int",
+    )
+    store.build(seen, version=1)
+    vdir = tmp_path / "segs" / "v000001"
+    segs = [f for f in os.listdir(vdir) if f.startswith("seg")]
+    assert len(segs) >= 4  # ~2000 keys/bucket over target 500 -> >=4 subs
+    for f in segs:
+        seg = np.load(vdir / f)
+        assert int(seg["n"]) <= int(target * 1.5)  # bounded per segment
+    # membership still exact across the split
+    probed = store.probe(seen, version=1)
+    assert probed.filter(~probed.bloom_maybe).count() == 0
+
+
+def test_delta_then_rebuild_keeps_membership(spark, tmp_path):
+    """Delta OR-in, headroom-exhaustion rebuild (which re-splits the bucket),
+    and hardlink carry-over all preserve no-false-negatives."""
+    n_buckets = 4
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=400)
+    base = [(k, int(k[:4], 16) % n_buckets) for k in _keys(800)]
+    seen1 = spark.createDataFrame(base, "url_sha1 string, domain_hash int")
+    store.build(seen1, version=1)
+    # delta > headroom for some segments -> per-bucket rebuild path runs
+    extra = [(k, int(k[:4], 16) % n_buckets) for k in _keys(2400, salt="d")]
+    delta = spark.createDataFrame(extra, "url_sha1 string, domain_hash int")
+    all_seen = spark.createDataFrame(base + extra, "url_sha1 string, domain_hash int")
+    store.build_delta(delta, all_seen, prev_version=1, version=2)
+    assert store.versions() == [1, 2]
+    probed = store.probe(all_seen, version=2)
+    assert probed.filter(~probed.bloom_maybe).count() == 0
+
+
+def test_partial_build_is_invisible(spark, tmp_path):
+    """Atomic publish (r1 ADVICE): a crash mid-build leaves only a .tmp dir;
+    versions() must not report it, so the engine's staleness guard degrades
+    to the exact anti-join instead of probing a half-built version."""
+    import os
+
+    store = SegmentStore(str(tmp_path / "segs"), 4)
+    seen = spark.createDataFrame(
+        [(k, int(k[:4], 16) % 4) for k in _keys(100)], "url_sha1 string, domain_hash int"
+    )
+    store.build(seen, version=1)
+    # simulate a crashed v2 build: tmp dir exists with a partial segment
+    os.makedirs(tmp_path / "segs" / "v000002.tmp", exist_ok=True)
+    assert store.versions() == [1]
+    store.build_delta(seen.limit(10), seen, prev_version=1, version=2)
+    assert store.versions() == [1, 2]
+    store.expire(keep_last=1)
+    assert store.versions() == [2]
+
+
+def test_ten_million_key_store_bounded_segments(spark, tmp_path):
+    """r1 VERDICT #1 'done' criterion: build+probe a >=10^7-key store with
+    per-segment memory asserted under budget. Keys generated JVM-side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    n, n_buckets, target = 10_000_000, 8, 1_000_000
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=target)
+    seen = spark.range(n).select(
+        F.sha1(F.col("id").cast("string")).alias("url_sha1"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("domain_hash"),
+    )
+    counts = store.build(seen, version=1)
+    assert sum(counts.values()) == n
+    vdir = tmp_path / "segs" / "v000001"
+    segs = [f for f in os.listdir(vdir) if f.startswith("seg")]
+    assert len(segs) >= 8 * (n // n_buckets // target)  # parallelism scales with keys
+    budget_bytes = 16 * 1024 * 1024  # bitmap budget per segment task
+    for f in segs:
+        seg = np.load(vdir / f)
+        assert int(seg["n"]) <= int(target * 1.5)
+        assert seg["bitmap"].nbytes < budget_bytes
+        assert seg["ck_table"].nbytes < budget_bytes
+    # membership: every inserted key in a 200k sample must come back maybe
+    sample = seen.filter(F.pmod(F.xxhash64("url_sha1"), F.lit(50)) == 0)
+    assert store.probe(sample, version=1).filter(~F.col("bloom_maybe")).count() == 0
+    # fresh keys mostly skip the join
+    fresh = spark.range(n, n + 200_000).select(
+        F.sha1(F.concat(F.lit("f"), F.col("id").cast("string"))).alias("url_sha1"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("domain_hash"),
+    )
+    probed = store.probe(fresh, version=1)
+    n_fresh = probed.count()
+    n_skip = probed.filter(~F.col("bloom_maybe")).count()
+    assert n_skip / n_fresh > 0.95
+
+
 def test_bloom_fpr_measured(spark, tmp_path):
     """FIXTURES.md §8 'small' purpose: measured FPR sanity (bits_per_key=12,
     k=7 -> theoretical ~0.3%)."""

@@ -35,18 +35,30 @@ def test_resume_after_epochs(spark, tiny_seeds_df, tmp_path):
 
 
 def test_mid_epoch_crash_replay_is_idempotent(spark, tiny_seeds_df, tmp_path):
-    """Simulate a crash after the images merge but before the url_seen commit:
-    replaying the epoch must not duplicate anything."""
+    """Simulate a crash after the images commit but before the url_seen
+    commit — through the engine's ACTUAL landing path (staged write +
+    commit_staged with epoch lineage, exactly what run_epoch does), so the
+    lineage-gated O(epoch) replay guard is what's under test. Replaying the
+    epoch must not duplicate anything."""
+    import os
+
     eng = _engine(spark, tmp_path, "c", epoch_duration_s=10, batch_size=120)
     eng.bootstrap(tiny_seeds_df)
     eng.run_epoch(0)
 
-    # partial epoch 1: do only the images merge, then "crash"
+    # partial epoch 1: land payloads the way run_epoch does, then "crash"
     scheduled = schedule_epoch(eng.pending(), epoch_duration_s=10, batch_size=120)
     results = fetch_batch(scheduled)
-    ok = results.filter(F.col("status") == "ok")
-    cols = [c.split()[0] for c in IMAGES_DDL.split(", ")]
-    eng.images.merge_not_matched(ok.select(*cols), ["image_id"])
+    sid, raw_dir = eng.images.staging_raw_dir()
+    (
+        results.write.mode("overwrite")
+        .option("compression", "none")
+        .partitionBy("valid")
+        .parquet(raw_dir)
+    )
+    eng.images.commit_staged(
+        sid, os.path.join(raw_dir, "valid=true"), lineage={"epoch": 1}
+    )
     images_after_partial = eng.images.read(spark).count()
 
     # restart: lineage still says epoch 0 completed -> epoch 1 replays

@@ -21,6 +21,14 @@ TRICKY = [
     "  https://padded.example.net/x  ",
     "https://bare.example.io",
     "https://site00003.example.net/address/0xff#code2",
+    # PSL semantics (functions/psl.py): 3-label private suffix, wildcard
+    # rule, exception rule, unknown TLD (default rule)
+    "https://deep.sub.pvt.github.io/x",
+    "https://bucket.name.s3.amazonaws.com/obj",
+    "https://a.b.foo.ck/x",
+    "https://www.ck/x",
+    "https://x.y.co.kr/x",
+    "https://some.unknowntld/x",
 ]
 
 
@@ -78,3 +86,22 @@ def test_validity_filter(spark):
     got = df.select(U.is_valid_eth_address("addr").alias("v")).collect()
     for r, (_, expect) in zip(got, rows):
         assert r.v == expect
+
+
+def test_registrable_domain_psl_pinned_values(spark):
+    """PSL rules pinned to expected literals (both the Spark expression and
+    the python oracle could share a bug — this pins ground truth)."""
+    cases = {
+        "https://deep.sub.pvt.github.io/x": "pvt.github.io",      # private suffix
+        "https://bucket.name.s3.amazonaws.com/o": "name.s3.amazonaws.com",  # 3-label
+        "https://a.b.foo.ck/x": "b.foo.ck",                       # wildcard *.ck
+        "https://www.ck/x": "www.ck",                             # exception !www.ck
+        "https://x.y.co.kr/x": "y.co.kr",                         # ccTLD 2nd level
+        "https://sub.deep.example.co.uk/x": "example.co.uk",
+        "https://plain.example.com/x": "example.com",
+        "https://some.unknowntld/x": "some.unknowntld",           # default rule
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = df.select("url", U.registrable_domain("url").alias("d")).collect()
+    for r in got:
+        assert r.d == cases[r.url], r.url
