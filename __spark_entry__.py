@@ -123,6 +123,93 @@ def validity_filter(spark, sf_dir):
     )
 
 
+# F2 extension — registrable-domain extraction under full PSL semantics
+# (functions/psl.py: exact/wildcard/exception rules, longest match). The SQL
+# oracle computes the domain independently with DuckDB list ops over the SAME
+# bundled rule sets; synthetic hosts exercise every rule class.
+def _psl_sql_lists():
+    from etherscan_contract_crawler_spark.functions.psl import (
+        PSL_EXACT,
+        PSL_WILDCARD,
+    )
+
+    exact2 = ", ".join(f"'{s}'" for s in sorted(PSL_EXACT) if s.count(".") == 1)
+    exact3 = ", ".join(f"'{s}'" for s in sorted(PSL_EXACT) if s.count(".") == 2)
+    wild1 = ", ".join(f"'{s}'" for s in sorted(PSL_WILDCARD) if "." not in s)
+    wild2 = ", ".join(f"'{s}'" for s in sorted(PSL_WILDCARD) if s.count(".") == 1)
+    return exact2, exact3, wild1, (wild2 or "''")
+
+
+_E2, _E3, _W1, _W2 = _psl_sql_lists()
+
+_SQL_PSL_HOST = """
+    CASE p_partkey % 8
+      WHEN 0 THEN 'a.b.h' || CAST(p_partkey AS VARCHAR) || '.com'
+      WHEN 1 THEN 'x.h' || CAST(p_partkey AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'y.h' || CAST(p_partkey AS VARCHAR) || '.github.io'
+      WHEN 3 THEN 'z.h' || CAST(p_partkey AS VARCHAR) || '.s3.amazonaws.com'
+      WHEN 4 THEN 'w.h' || CAST(p_partkey AS VARCHAR) || '.foo.ck'
+      WHEN 5 THEN 'sub.h' || CAST(p_partkey AS VARCHAR) || '.www.ck'
+      WHEN 6 THEN 'h' || CAST(p_partkey AS VARCHAR) || '.unknowntld'
+      ELSE 'deep.a.h' || CAST(p_partkey AS VARCHAR) || '.ac.uk'
+    END
+"""
+
+
+@_q(
+    "registrable_domain_psl",
+    f"""
+    WITH hosts AS (SELECT p_partkey, {_SQL_PSL_HOST} AS host FROM part),
+    l AS (
+      SELECT p_partkey, host, string_split(host, '.') AS labs,
+             len(string_split(host, '.')) AS n
+      FROM hosts
+    ),
+    s AS (
+      SELECT p_partkey, host, labs, n,
+        CASE
+          WHEN n >= 2 AND array_to_string(list_slice(labs, n-1, n), '.') = 'www.ck' THEN 1
+          WHEN n > 3 AND (array_to_string(list_slice(labs, n-2, n), '.') IN ({_E3})
+                          OR array_to_string(list_slice(labs, n-1, n), '.') IN ({_W2})) THEN 3
+          WHEN n > 2 AND (array_to_string(list_slice(labs, n-1, n), '.') IN ({_E2})
+                          OR labs[n] IN ({_W1})) THEN 2
+          ELSE 1
+        END AS sl
+      FROM l
+    )
+    SELECT p_partkey, host,
+           CASE WHEN n <= sl OR n <= 1 THEN host
+                ELSE array_to_string(list_slice(labs, n-sl, n), '.') END AS domain
+    FROM s
+    """,
+)
+def registrable_domain_psl_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions import urls as U
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    m = F.col("p_partkey") % 8
+
+    def h(*parts):
+        return F.concat(*[F.lit(x) if isinstance(x, str) else x for x in parts])
+
+    host = (
+        F.when(m == 0, h("a.b.h", pk, ".com"))
+        .when(m == 1, h("x.h", pk, ".co.uk"))
+        .when(m == 2, h("y.h", pk, ".github.io"))
+        .when(m == 3, h("z.h", pk, ".s3.amazonaws.com"))
+        .when(m == 4, h("w.h", pk, ".foo.ck"))
+        .when(m == 5, h("sub.h", pk, ".www.ck"))
+        .when(m == 6, h("h", pk, ".unknowntld"))
+        .otherwise(h("deep.a.h", pk, ".ac.uk"))
+    )
+    return p.select(
+        "p_partkey",
+        host.alias("host"),
+        U.registrable_domain(host, is_host=True).alias("domain"),
+    )
+
+
 # P6/F11 — URL -> key projection (contract_crawler.py:328, :337)
 @_q(
     "url_key_extract",
@@ -936,12 +1023,25 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 # approximate ANN (LSH-bucketed) — no SQL oracle by design (approximate op);
-# driver records the weaker rows-only check
+# driver records the weaker rows-only check. Recall pinned by
+# tests/test_analytics_extra.py::test_ann_lsh_recall_floor.
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucket_topk(e, q, k=5, n_planes=6)
+
+
+# approximate ANN (IVF-flat: coarse-quantizer cells + n_probe) — the second
+# classic scale path; rows-only for the same reason, recall pinned by
+# tests/test_analytics_extra.py::test_ann_ivf_recall_floor_and_partition
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(e, q, k=5, n_centroids=16, n_probe=8)
 
 
 def _langid_sql() -> str:

@@ -75,21 +75,81 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _mp_payload_work(args) -> int:
+    """One worker's share of the hardware-ceiling probe: the same payload
+    work the synthetic fetcher does (deterministic image synthesis + decode/
+    PSNR/phash validation), with zero Spark in the loop."""
+    import hashlib
+
+    lo, hi = args
+    from etherscan_contract_crawler_spark.operators.validate import validate_payload_row
+    from etherscan_contract_crawler_spark.sources.synthetic import payload_for_key
+
+    for i in range(lo, hi):
+        key = hashlib.sha1(f"ceiling{i}".encode()).hexdigest()
+        p = payload_for_key(key)
+        p.pop("_pixels", None)
+        validate_payload_row(p)
+    return hi - lo
+
+
+def measure_mp_ceiling(total: int = 12_800, repeats: int = 2) -> dict:
+    """MEASURE (not assume — r1 ADVICE) the box's own 4->16 process-scaling
+    ceiling on the fetch payload work under plain multiprocessing. The
+    engine's 4->16 efficiency is read against this hardware number: on this
+    single-socket box the payload pipeline saturates memory bandwidth before
+    16 workers, which no dataflow engine can scale through; real executors
+    bring their own memory controllers."""
+    import multiprocessing as mp
+
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+    thr = {}
+    for procs in (4, 16):
+        walls = []
+        chunks = [
+            (w * total // procs, (w + 1) * total // procs) for w in range(procs)
+        ]
+        with mp.get_context("fork").Pool(procs) as pool:
+            pool.map(_mp_payload_work, chunks[:procs])  # warm the pool
+            for _ in range(repeats):
+                t0 = time.time()
+                pool.map(_mp_payload_work, chunks)
+                walls.append(time.time() - t0)
+        thr[procs] = total / min(walls)
+    return {
+        "method": "multiprocessing pool, same payload work as the synthetic "
+        "fetcher, same total work per level, best-of-%d" % repeats,
+        "urls_per_sec_4proc": round(thr[4], 1),
+        "urls_per_sec_16proc": round(thr[16], 1),
+        "ceiling_4_to_16": round(thr[16] / thr[4] / 4.0, 3),
+    }
+
+
 def run_scaling() -> dict:
     if not os.path.exists(BENCH_SEEDS):
         from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
 
         gen_seed_parquet(BENCH_SEEDS, 250_000, n_domains=8_000)
-    res = {}
+    repo = os.path.dirname(os.path.abspath(__file__)) or "."
+    # each parallelism level is its own spark-submit PROCESS through the
+    # --py-files packaging path (tools/submit.sh) — the closest sandbox
+    # analog of the north_rule's run-at-two-cluster-sizes protocol; falls
+    # back to `python -m` when no spark-submit binary exists
+    submit_sh = os.path.join(repo, "tools", "submit.sh")
+    use_submit = os.path.exists("/opt/spark/bin/spark-submit")
+    res: dict = {"harness": "spark-submit --py-files" if use_submit else "python -m"}
     for cpus, repeats in SCALING_LEVELS.items():
         runs = []
         for _ in range(repeats):
+            if use_submit:
+                cmd = ["bash", submit_sh, "--cpus", str(cpus), *SCALING_ARGS]
+            else:
+                cmd = [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
+                       "--cpus", str(cpus), *SCALING_ARGS]
             try:
                 p = subprocess.run(
-                    [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
-                     "--cpus", str(cpus), *SCALING_ARGS],
-                    capture_output=True, text=True, timeout=1500,
-                    cwd=os.path.dirname(__file__) or ".",
+                    cmd, capture_output=True, text=True, timeout=1500, cwd=repo,
                 )
             except subprocess.TimeoutExpired:
                 runs.append({"error": "timeout"})
@@ -111,7 +171,8 @@ def run_scaling() -> dict:
 
     res["scaling_efficiency_n_to_4n"] = eff(1, 4)  # primary pair (stable regime)
     res["scaling_efficiency_4_to_16"] = eff(4, 16)
-    res["single_box_mp_ceiling_4_to_16"] = 0.83  # measured raw worker-pool ceiling
+    # measured in THIS run, not a pasted constant (r1 ADVICE)
+    res["single_box_mp_ceiling"] = measure_mp_ceiling()
     return res
 
 

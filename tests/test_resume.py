@@ -83,3 +83,55 @@ def test_frontier_offsets_monotonic(spark, tiny_seeds_df, tmp_path):
     off1 = eng.url_seen.lineage()["frontier_offsets"]
     assert sum(off1.values()) >= sum(off0.values())
     assert sum(off0.values()) == 100  # batch_size rows scheduled in epoch 0
+
+
+def test_maintenance_preserves_results_and_bounds_dirs(spark, tiny_seeds_df, tmp_path):
+    """Engine compaction cadence (maintain): same final tables as a run with
+    maintenance disabled, metadata dirs bounded, and resume keeps working
+    from a compacted state (lineage survives)."""
+    from etherscan_contract_crawler_spark.engine.crawl import CrawlEngine, EngineConfig
+
+    a = CrawlEngine(
+        spark,
+        EngineConfig(
+            warehouse=str(tmp_path / "m_on"), n_buckets=16, epoch_duration_s=10,
+            batch_size=60, expand_links=True, compact_every=2,
+        ),
+    )
+    a.bootstrap(tiny_seeds_df)
+    a.run(max_epochs=5)
+    # resume from the compacted state: lineage must still drive the epoch
+    a2 = CrawlEngine(
+        spark,
+        EngineConfig(
+            warehouse=str(tmp_path / "m_on"), n_buckets=16, epoch_duration_s=10,
+            batch_size=60, expand_links=True, compact_every=2,
+        ),
+    )
+    assert a2.last_completed_epoch() == 4
+    a2.run(max_epochs=3)
+
+    b = CrawlEngine(
+        spark,
+        EngineConfig(
+            warehouse=str(tmp_path / "m_off"), n_buckets=16, epoch_duration_s=10,
+            batch_size=60, expand_links=True, compact_every=10**9,
+        ),
+    )
+    b.bootstrap(tiny_seeds_df)
+    b.run(max_epochs=8)
+
+    for t in ("url_seen", "images", "dead_letter"):
+        ka = {
+            tuple(r)
+            for r in getattr(a2, t).read(spark).drop("seen_epoch", "failed_epoch").collect()
+        }
+        kb = {
+            tuple(r)
+            for r in getattr(b, t).read(spark).drop("seen_epoch", "failed_epoch").collect()
+        }
+        assert ka == kb, t
+    # metadata tables stay bounded under the cadence; without it they accrete
+    assert len(a2.url_seen.manifest()["data_dirs"]) <= 4
+    assert len(b.url_seen.manifest()["data_dirs"]) >= 8
+    assert len(a2.segments.versions()) <= 2

