@@ -52,8 +52,11 @@ HEADLINE = [
 #: engine, BASELINE.md §sandbox-noise); 1->4 is the pair the box can
 #: actually evidence cleanly.
 BENCH_SEEDS = "/tmp/spark_graft_bench_seeds_250k.parquet"
+#: batch-size is pinned EXPLICITLY: identical bytes of work at every level
+#: (submit_job would otherwise default it to 20k, where fixed per-epoch
+#: overhead dominates and the measurement stops being about scaling)
 SCALING_ARGS = ["--epochs", "1", "--epoch-duration", "1200", "--warmup-batch", "5000",
-                "--fetcher", "synthetic", "--seeds", BENCH_SEEDS]
+                "--batch-size", "120000", "--fetcher", "synthetic", "--seeds", BENCH_SEEDS]
 SCALING_LEVELS = {1: 1, 4: 2, 16: 3}  # cpus -> repeats (stable regime needs fewer)
 
 
@@ -171,15 +174,21 @@ def run_scaling() -> dict:
 
     res["scaling_efficiency_n_to_4n"] = eff(1, 4)  # primary pair (stable regime)
     res["scaling_efficiency_4_to_16"] = eff(4, 16)
-    # measured in THIS run, not a pasted constant (r1 ADVICE)
-    res["single_box_mp_ceiling"] = measure_mp_ceiling()
+    # single_box_mp_ceiling is measured by main() BEFORE any Spark JVM runs
+    # in this process tree (r1 ADVICE: measured in-run, not pasted; and the
+    # measurement must not share the box with leftover executors)
     return res
 
 
 def main():
     t0 = time.time()
+    # hardware ceiling FIRST, before any Spark JVM exists in this process
+    # tree — timing runs must be the only load on the box (BASELINE.md)
+    ceiling = None if SKIP_SCALING else measure_mp_ceiling()
     queries = run_queries()
     crawl = {} if SKIP_SCALING else run_scaling()
+    if ceiling is not None:
+        crawl["single_box_mp_ceiling"] = ceiling
     total = round(time.time() - t0, 2)
     print(
         json.dumps(
