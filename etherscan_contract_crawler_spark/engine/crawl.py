@@ -310,11 +310,16 @@ class CrawlEngine:
                 "failed": n_failed,
             },
         }
-        self.url_seen.merge_not_matched(
-            # mark-at-attempt over the WHOLE scheduled batch (K5) — including
-            # keys skipped by the replay guard, whose payloads already landed
+        # mark-at-attempt over the WHOLE scheduled batch (K5) — including
+        # keys skipped by the replay guard, whose payloads already landed.
+        # APPEND, not MERGE: scheduled ⊆ unseen by construction (pending()'s
+        # exact dedup) and the epoch commits at most once (lineage gates the
+        # replay), so the merge's existing-side anti-join — an O(total seen)
+        # scan every epoch — would verify a tautology. The exact segment
+        # store is what makes this safe to assert, and the parity/resume
+        # suites pin it.
+        self.url_seen.append(
             scheduled.select("url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")),
-            ["url_sha1"],
             lineage=lineage,
         )
         _mark("url_seen_merge")

@@ -1,4 +1,5 @@
-"""Segmented Bloom + cuckoo URL-seen pre-filter (SURVEY.md §4, M3).
+"""Segmented URL-seen membership store: bloom + cuckoo + sorted key runs
+(SURVEY.md §4, M3; LSM layout added in round 2).
 
 Why segmented: at the 10^10-key target a single Bloom filter is ~11.2 GiB of
 bits at 1% FPR — un-broadcastable. Segmentation is TWO-LEVEL:
@@ -7,33 +8,47 @@ bits at 1% FPR — un-broadcastable. Segmentation is TWO-LEVEL:
     probe/build tasks co-partition with the frontier shuffle;
   * level 2 — ``_sub`` sub-segment within a bucket, derived from an
     independent slice of the sha1 digest, with ``n_sub = ceil(bucket_keys /
-    target_keys_per_segment)``. This is what makes the store scale-aware:
-    per-task memory is bounded by ``target_keys_per_segment`` (~15 MB bitmap
-    + ~20 MB cuckoo at the default 4M keys/segment) no matter how many keys
-    a bucket accumulates, and probe parallelism grows with the key count
-    (10^10 keys → ~2.5k segment tasks) instead of being capped at the bucket
-    count. The sub count per bucket lives in the version's ``meta.json`` and
-    is recomputed whenever a bucket is fully rebuilt.
+    target_keys_per_segment)``. Per-task memory is bounded by
+    ``target_keys_per_segment`` no matter how many keys a bucket
+    accumulates, and probe parallelism grows with the key count (10^10 keys
+    → ~2.5k segment tasks) instead of being capped at the bucket count.
 
-Build and probe are both ``applyInPandas`` grouped ops over
-``(domain_hash, _sub)`` — Arrow-batched, numpy-vectorized inside, zero
-per-row Python on the insert path (the cuckoo eviction loop only runs for
-the <1% of keys both of whose buckets fill during the vectorized passes).
+Why LSM runs (round 2): the first design OR-ed each epoch's delta into the
+segment bitmaps, which rewrites O(segment) bytes per touched segment per
+epoch, and exact dedup still needed a Spark anti-join that SCANS the whole
+url_seen table every epoch — the last O(total)-per-epoch costs in the
+engine. Now a segment is:
 
-Versions publish ATOMICALLY: segments build into ``v{N}.tmp`` and the dir is
-renamed to ``v{N}`` only after every delta write, rebuild, and hardlink has
-completed — a crash mid-build leaves no partial version that ``versions()``
-could mistake for complete (pending()'s staleness guard then degrades to the
-exact anti-join, which is always correct).
+    seg{b}_{s}.npz        — immutable BASE: bloom bitmap + cuckoo + n
+    seg{b}_{s}.keys.npy   — immutable sorted 20-byte digests (mmap-able)
+    seg{b}_{s}.r{j}.npz   — delta RUN j: its own small bloom + n
+    seg{b}_{s}.r{j}.keys.npy — run j's sorted digests
 
-Guarantees (property-tested): the Bloom has NO false negatives; the cuckoo
-refinement never rejects a true member (saturated segments degrade to
-bloom-only). A false *positive* only costs an extra probe in the exact
-anti-join backstop — set parity is never at risk (SURVEY.md M3).
+An epoch's delta build WRITES ONE NEW RUN per touched segment — O(delta)
+bytes — and hardlinks everything else. Membership is EXACT: bloom(base) ∨
+bloom(runs) short-circuits the misses, and the hits are verified by binary
+search (``np.searchsorted``) over the memory-mapped sorted key files — no
+Spark join against url_seen at all. When a segment accumulates MAX_RUNS
+runs (or outgrows 2× target) its bucket is rebuilt, folding the runs into a
+fresh base and re-splitting ``n_sub`` — the LSM compaction, on the same
+cadence math as classic leveled stores.
+
+Versions publish ATOMICALLY: everything builds into ``v{N}.tmp`` and one
+rename makes it live; a crash mid-build leaves no partial version that
+``versions()`` could mistake for complete (the engine's staleness guard then
+degrades to the exact Spark anti-join, which is always correct).
+
+Guarantees (property-tested): bloom/cuckoo have NO false negatives; the
+exact key runs have NO false positives and NO false negatives — the store's
+exact mode IS the dedup answer, not a pre-filter. Legacy (non-exact) mode
+remains for stale-version fallback, where a false positive only costs an
+extra probe in the Spark anti-join backstop.
 
 Hashing: url_sha1 is already a uniform 160-bit digest; h1/h2 are its first
 two 64-bit words, bit_i = (h1 + i*h2) mod m (standard double hashing); the
-sub-segment key uses hex chars 33-40 (bits 128-160), independent of h1/h2.
+sub-segment key uses hex chars 33-40, independent of h1/h2; the exact runs
+store the full 20-byte digest (no truncation — parity never rides on a
+probability).
 
 Reference analog: the in-memory ``set`` seen-check
 (blockchain-multichain-monitor.py:28, :83-85) and dir-existence probes
@@ -45,6 +60,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 
 import numpy as np
@@ -66,11 +82,16 @@ def _h1h2(sha1_hex: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def _keys20(sha1_hex: pd.Series) -> np.ndarray:
+    """Full 20-byte digests as a fixed-width byte array (lexicographic order
+    == numeric digest order), one C-speed pass."""
+    joined = "".join(sha1_hex)
+    return np.frombuffer(bytes.fromhex(joined), dtype="S20")
+
+
 def _bloom_params(
     n_keys: int, bits_per_key: int = 12, n_hashes: int = 7, headroom: float = 2.0
 ) -> tuple[int, int]:
-    """Bits sized with growth headroom so incremental deltas can be OR-ed in
-    for ~headroom x growth before a segment needs a full rebuild."""
     m = max(64, int(n_keys * bits_per_key * headroom))
     return m, n_hashes
 
@@ -79,7 +100,7 @@ def _or_bits(bitmap: np.ndarray, idx: np.ndarray) -> None:
     """OR bit positions ``idx`` into ``bitmap`` (uint8, little-bit-endian).
 
     sort + reduceat instead of np.bitwise_or.at: ufunc.at is unbuffered and
-    ~50x slower; this is the hot loop of a 10^7-key-per-segment build.
+    ~50x slower; this is the hot loop of a multi-million-key segment build.
     """
     u = np.unique(idx)  # sorted unique bit positions
     if not len(u):
@@ -96,14 +117,39 @@ def _bloom_insert(bitmap: np.ndarray, m: int, k: int, h1: np.ndarray, h2: np.nda
         _or_bits(bitmap, (h1 + np.uint64(i) * h2) % mm)
 
 
-class SegmentStore:
-    """Filesystem-backed, versioned bloom+cuckoo segments.
+def _bloom_test(bitmap: np.ndarray, m: np.uint64, k: int, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    maybe = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % m
+        bit = (bitmap[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        maybe &= bit.astype(bool)
+    return maybe
 
-    Layout: ``{root}/v{version:06d}/seg{bucket:05d}_{sub:04d}.npz`` plus a
-    ``meta.json`` mapping bucket -> (n_sub, n_keys). On a cluster the root is
-    shared storage (HDFS/S3 via a local mount or download-to-tmp); each task
-    touches only its own segment's file.
+
+def _sorted_contains(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Exact membership of ``keys`` in ``sorted_keys`` (both S20) — binary
+    search; sorted_keys may be a np.memmap (only O(log n) pages touched)."""
+    if not len(sorted_keys):
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(sorted_keys, keys)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    return (pos < len(sorted_keys)) & (np.asarray(sorted_keys[pos_c]) == keys)
+
+
+_RUN_RE = re.compile(r"^seg(\d{5})_(\d{4})\.r(\d{3})\.npz$")
+
+
+class SegmentStore:
+    """Filesystem-backed, versioned membership segments (see module doc).
+
+    On a cluster the root is shared storage (HDFS/S3 via a local mount or
+    download-to-tmp); each task touches only its own segment's files, and
+    hardlinks across versions mean an epoch's new version costs O(delta)
+    bytes of new data.
     """
+
+    MAX_RUNS = 6  # LSM fold trigger: probe cost stays O(1 base + ≤6 runs)
 
     def __init__(
         self,
@@ -125,8 +171,16 @@ class SegmentStore:
         return d + ".tmp" if tmp else d
 
     @staticmethod
-    def _seg_name(bucket: int, sub: int) -> str:
+    def _base_name(bucket: int, sub: int) -> str:
         return f"seg{bucket:05d}_{sub:04d}.npz"
+
+    @staticmethod
+    def _run_name(bucket: int, sub: int, j: int) -> str:
+        return f"seg{bucket:05d}_{sub:04d}.r{j:03d}.npz"
+
+    @staticmethod
+    def _keys_name(npz_name: str) -> str:
+        return npz_name[:-4] + ".keys.npy"
 
     def versions(self) -> list[int]:
         """Published (complete) versions only — .tmp build dirs are invisible."""
@@ -160,7 +214,14 @@ class SegmentStore:
         return {
             "n_sub": {int(k): int(v) for k, v in raw["n_sub"].items()},
             "n_keys": {int(k): int(v) for k, v in raw["n_keys"].items()},
+            "exact": bool(raw.get("exact", False)),
         }
+
+    def supports_exact(self, version: int) -> bool:
+        try:
+            return self._meta(version)["exact"]
+        except OSError:
+            return False
 
     def _write_meta(self, build_dir: str, n_sub: dict[int, int], n_keys: dict[int, int]) -> None:
         tmp = os.path.join(build_dir, "meta.json.tmp")
@@ -168,6 +229,7 @@ class SegmentStore:
             json.dump(
                 {"n_sub": {str(k): v for k, v in n_sub.items()},
                  "n_keys": {str(k): v for k, v in n_keys.items()},
+                 "exact": True,
                  "target_keys_per_segment": self.target_keys},
                 f,
             )
@@ -176,7 +238,7 @@ class SegmentStore:
     def _publish(self, version: int) -> None:
         """Atomic version flip: the complete build dir replaces v{N} in one
         rename. A crash before this line leaves only a .tmp dir that
-        versions() ignores — never a half-built live version (ADVICE r1)."""
+        versions() ignores — never a half-built live version."""
         final = self._ver_dir(version)
         if os.path.isdir(final):
             shutil.rmtree(final)  # replayed epoch: discard the old complete build
@@ -217,11 +279,9 @@ class SegmentStore:
     def build(self, seen: DataFrame, version: int) -> dict[int, int]:
         """Full build from the url_seen table (cols url_sha1, domain_hash).
 
-        Returns {bucket: n_keys} (recorded in snapshot lineage as the bloom
-        segment version map). Distributed: one grouped-map task per
+        Returns {bucket: n_keys}. Distributed: one grouped-map task per
         (bucket, sub) segment; per-task memory bounded by
-        target_keys_per_segment.
-        """
+        target_keys_per_segment."""
         counts = self._bucket_counts(seen)
         n_sub = self._n_sub_for(counts)
         build_dir = self._ver_dir(version, tmp=True)
@@ -234,7 +294,7 @@ class SegmentStore:
 
     def _build_into(self, build_dir: str, seen: DataFrame, n_sub: dict[int, int]) -> None:
         bits_per_key, n_hashes = self.bits_per_key, self.n_hashes
-        seg_name = self._seg_name
+        base_name, keys_name = self._base_name, self._keys_name
 
         def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
@@ -244,7 +304,8 @@ class SegmentStore:
             bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
             _bloom_insert(bitmap, m, k, h1, h2)
             ck = _CuckooTable.build(h1, h2, headroom=2.0)
-            path = os.path.join(build_dir, seg_name(bucket, sub))
+            name = base_name(bucket, sub)
+            path = os.path.join(build_dir, name)
             # savez appends '.npz' unless the name already ends with it
             tmp = path + f".tmp{os.getpid()}.npz"
             np.savez_compressed(
@@ -252,6 +313,10 @@ class SegmentStore:
                 ck_table=ck.table, ck_saturated=np.int8(ck.saturated),
             )
             os.replace(tmp, path)
+            kpath = os.path.join(build_dir, keys_name(name))
+            ktmp = kpath + f".tmp{os.getpid()}.npy"
+            np.save(ktmp, np.sort(_keys20(pdf["url_sha1"])))
+            os.replace(ktmp + ".npy" if not ktmp.endswith(".npy") else ktmp, kpath)
             return pd.DataFrame({"domain_hash": [bucket], "_sub": [sub], "n_keys": [n]})
 
         (
@@ -264,17 +329,15 @@ class SegmentStore:
     def build_delta(
         self, delta: DataFrame, seen: DataFrame, prev_version: int | None, version: int
     ) -> dict[int, int]:
-        """Incremental build: OR the epoch's new keys into the previous
-        version's segments instead of rescanning the whole seen set.
+        """Incremental build — O(epoch delta), the LSM append path.
 
-        At the 10^10-key target a full rebuild per epoch is O(total) and
-        grows without bound; this is O(epoch delta). Segments are sized with
-        2x headroom (``_bloom_params``), so a sub-segment only triggers a
-        full rebuild of its bucket (which also recomputes the bucket's
-        n_sub, keeping segments at target size) after it roughly doubles;
-        untouched segments are hardlinked into the new version dir. Falls
-        back to a full build when there is no previous version.
-        """
+        Every file of the previous version is hardlinked into the new one
+        (no data copied); each touched segment gains ONE new run file (small
+        bloom + sorted keys over just the delta). A segment that reaches
+        MAX_RUNS runs or 2x target keys flags its bucket for rebuild, which
+        folds base+runs into a fresh base and re-splits n_sub — the
+        compaction step. Falls back to a full build when there is no
+        previous version."""
         if prev_version is None:
             return self.build(seen, version)
         prev_meta = self._meta(prev_version)
@@ -283,47 +346,76 @@ class SegmentStore:
         shutil.rmtree(build_dir, ignore_errors=True)
         os.makedirs(build_dir, exist_ok=True)
         prev_dir = self._ver_dir(prev_version)
-        bits_per_key = self.bits_per_key
-        seg_name = self._seg_name
+        # carry the whole previous version forward first (hardlinks)
+        for fname in os.listdir(prev_dir):
+            if fname.startswith("seg"):
+                os.link(os.path.join(prev_dir, fname), os.path.join(build_dir, fname))
+
+        bits_per_key, n_hashes = self.bits_per_key, self.n_hashes
+        base_name, run_name, keys_name = self._base_name, self._run_name, self._keys_name
+        max_runs, target_keys = self.MAX_RUNS, self.target_keys
 
         delta_counts = self._bucket_counts(delta)
         # new buckets get their own n_sub from the delta size alone
         eff_n_sub = dict(prev_n_sub)
         for b, c in delta_counts.items():
-            eff_n_sub.setdefault(b, max(1, math.ceil(c / self.target_keys)))
+            eff_n_sub.setdefault(b, max(1, math.ceil(c / target_keys)))
 
         def delta_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
-            prev_path = os.path.join(prev_dir, seg_name(bucket, sub))
-            new_path = os.path.join(build_dir, seg_name(bucket, sub))
+            base = base_name(bucket, sub)
+            base_path = os.path.join(build_dir, base)
             h1, h2 = _h1h2(pdf["url_sha1"])
-            if os.path.exists(prev_path):
-                seg = np.load(prev_path)
-                m, k, n_prev = int(seg["m"]), int(seg["k"]), int(seg["n"])
-                n_total = n_prev + len(pdf)
-                if n_total * bits_per_key > m:  # headroom exhausted
-                    return pd.DataFrame(
-                        {"domain_hash": [bucket], "n_new": [len(pdf)], "rebuilt": [True]}
-                    )
-                bitmap = seg["bitmap"].copy()
-                _bloom_insert(bitmap, m, k, h1, h2)
-                ck = _CuckooTable(seg["ck_table"].copy(), saturated=bool(seg["ck_saturated"]))
-                if not ck.saturated:
-                    ck.insert_many(h1, h2)
-            else:  # brand-new segment: fresh from the delta alone
-                n_total = len(pdf)
-                m, k = _bloom_params(n_total, bits_per_key)
+            n_new = len(pdf)
+            if not os.path.exists(base_path):
+                # brand-new segment: fresh base from the delta alone
+                m, k = _bloom_params(n_new, bits_per_key, n_hashes)
                 bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
                 _bloom_insert(bitmap, m, k, h1, h2)
                 ck = _CuckooTable.build(h1, h2, headroom=2.0)
-            tmp = new_path + f".tmp{os.getpid()}.npz"
-            np.savez_compressed(
-                tmp, bitmap=bitmap, m=np.int64(m), k=np.int64(k), n=np.int64(n_total),
-                ck_table=ck.table, ck_saturated=np.int8(ck.saturated),
+                tmp = base_path + f".tmp{os.getpid()}.npz"
+                np.savez_compressed(
+                    tmp, bitmap=bitmap, m=np.int64(m), k=np.int64(k), n=np.int64(n_new),
+                    ck_table=ck.table, ck_saturated=np.int8(ck.saturated),
+                )
+                os.replace(tmp, base_path)
+                kpath = os.path.join(build_dir, keys_name(base))
+                np.save(kpath + f".tmp{os.getpid()}.npy", np.sort(_keys20(pdf["url_sha1"])))
+                os.replace(kpath + f".tmp{os.getpid()}.npy", kpath)
+                return pd.DataFrame(
+                    {"domain_hash": [bucket], "n_new": [n_new], "rebuilt": [False]}
+                )
+            # existing runs for this segment (hardlinked from prev)
+            runs = sorted(
+                int(mo.group(3))
+                for f in os.listdir(build_dir)
+                if (mo := _RUN_RE.match(f))
+                and int(mo.group(1)) == bucket
+                and int(mo.group(2)) == sub
             )
-            os.replace(tmp, new_path)
+            n_total = int(np.load(base_path)["n"]) + n_new
+            for j in runs:
+                n_total += int(np.load(os.path.join(build_dir, run_name(bucket, sub, j)))["n"])
+            if len(runs) + 1 > max_runs or n_total > 2 * target_keys:
+                return pd.DataFrame(
+                    {"domain_hash": [bucket], "n_new": [n_new], "rebuilt": [True]}
+                )
+            j = (runs[-1] + 1) if runs else 0
+            m, k = _bloom_params(n_new, bits_per_key, n_hashes)
+            bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+            _bloom_insert(bitmap, m, k, h1, h2)
+            rname = run_name(bucket, sub, j)
+            rpath = os.path.join(build_dir, rname)
+            tmp = rpath + f".tmp{os.getpid()}.npz"
+            np.savez_compressed(
+                tmp, bitmap=bitmap, m=np.int64(m), k=np.int64(k), n=np.int64(n_new)
+            )
+            os.replace(tmp, rpath)
+            kpath = os.path.join(build_dir, keys_name(rname))
+            np.save(kpath + f".tmp{os.getpid()}.npy", np.sort(_keys20(pdf["url_sha1"])))
+            os.replace(kpath + f".tmp{os.getpid()}.npy", kpath)
             return pd.DataFrame(
-                {"domain_hash": [bucket], "n_new": [len(pdf)], "rebuilt": [False]}
+                {"domain_hash": [bucket], "n_new": [n_new], "rebuilt": [False]}
             )
 
         res = (
@@ -335,14 +427,12 @@ class SegmentStore:
         n_keys = dict(prev_n_keys)
         for b, c in delta_counts.items():
             n_keys[b] = n_keys.get(b, 0) + c
-        # buckets whose headroom ran out: full rebuild from seen, those only,
-        # with n_sub recomputed so segments return to target size
+        # LSM compaction: buckets flagged for rebuild fold into fresh bases
         rebuild = sorted({r["domain_hash"] for r in res if r["rebuilt"]})
         if rebuild:
             sub_seen = seen.filter(F.col("domain_hash").isin(rebuild))
             rb_counts = self._bucket_counts(sub_seen)
             rb_n_sub = self._n_sub_for(rb_counts)
-            # drop any partial delta writes for rebuilt buckets, then rebuild
             for b in rebuild:
                 for f in os.listdir(build_dir):
                     if f.startswith(f"seg{b:05d}_"):
@@ -350,52 +440,70 @@ class SegmentStore:
             self._build_into(build_dir, sub_seen, rb_n_sub)
             eff_n_sub.update(rb_n_sub)
             n_keys.update(rb_counts)
-        # carry over untouched segments (hardlink — no data copied)
-        rebuilt_set = set(rebuild)
-        for fname in os.listdir(prev_dir):
-            if not fname.startswith("seg"):
-                continue
-            bucket = int(fname[3:8])
-            if bucket in rebuilt_set:
-                continue
-            dst = os.path.join(build_dir, fname)
-            if not os.path.exists(dst):
-                os.link(os.path.join(prev_dir, fname), dst)
         self._write_meta(build_dir, eff_n_sub, n_keys)
         self._publish(version)
         return n_keys
 
     # ---------- probe ----------
-    def probe(self, candidates: DataFrame, version: int) -> DataFrame:
-        """Add ``bloom_maybe: boolean`` — False means DEFINITELY unseen.
+    def probe(self, candidates: DataFrame, version: int, exact: bool = False) -> DataFrame:
+        """Membership probe, grouped by (domain_hash, sub) so each task reads
+        one bounded segment's files once.
 
-        Grouped by (domain_hash, sub) so each task reads one bounded segment
-        file once; parallelism = total segment count, which scales with the
-        key count rather than the bucket count.
+        exact=False: adds ``bloom_maybe`` — False means DEFINITELY unseen
+        (no false negatives); True still needs an exact backstop.
+        exact=True: adds ``seen`` — EXACT membership (bloom short-circuits
+        the misses; hits are verified against the mmap'd sorted key runs).
         """
         meta = self._meta(version)
+        if exact and not meta["exact"]:
+            raise ValueError(f"version {version} has no exact key runs")
         ver_dir = self._ver_dir(version)
-        seg_name = self._seg_name
+        base_name, run_name, keys_name = self._base_name, self._run_name, self._keys_name
+        out_col = "seen" if exact else "bloom_maybe"
 
         def probe_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             bucket, sub = int(pdf["domain_hash"].iloc[0]), int(pdf["_sub"].iloc[0])
-            path = os.path.join(ver_dir, seg_name(bucket, sub))
-            if not os.path.exists(path):
-                pdf["bloom_maybe"] = False
+            base_path = os.path.join(ver_dir, base_name(bucket, sub))
+            if not os.path.exists(base_path):
+                pdf[out_col] = False
                 return pdf
-            seg = np.load(path)
-            bitmap, m, k = seg["bitmap"], np.uint64(int(seg["m"])), int(seg["k"])
             h1, h2 = _h1h2(pdf["url_sha1"])
-            maybe = np.ones(len(pdf), dtype=bool)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % m
-                bit = (bitmap[(idx >> np.uint64(3)).astype(np.int64)]
-                       >> (idx & np.uint64(7)).astype(np.uint8)) & 1
-                maybe &= bit.astype(bool)
-            if not bool(seg["ck_saturated"]):
+            seg = np.load(base_path)
+            base_maybe = _bloom_test(seg["bitmap"], np.uint64(int(seg["m"])), int(seg["k"]), h1, h2)
+            if not exact and not bool(seg["ck_saturated"]):
                 ck = _CuckooTable(seg["ck_table"], saturated=False)
-                maybe &= ck.contains(h1, h2)
-            pdf["bloom_maybe"] = maybe
+                base_maybe &= ck.contains(h1, h2)
+            run_files = sorted(
+                f for f in os.listdir(ver_dir)
+                if (mo := _RUN_RE.match(f))
+                and int(mo.group(1)) == bucket
+                and int(mo.group(2)) == sub
+            )
+            maybe = base_maybe.copy()
+            run_maybes = []
+            for f in run_files:
+                r = np.load(os.path.join(ver_dir, f))
+                rm = _bloom_test(r["bitmap"], np.uint64(int(r["m"])), int(r["k"]), h1, h2)
+                run_maybes.append((f, rm))
+                maybe |= rm
+            if not exact:
+                pdf[out_col] = maybe
+                return pdf
+            seen = np.zeros(len(pdf), dtype=bool)
+            idx = np.flatnonzero(maybe)
+            if len(idx):
+                keys = _keys20(pdf["url_sha1"].iloc[idx])
+                base_keys = np.load(
+                    os.path.join(ver_dir, keys_name(base_name(bucket, sub))), mmap_mode="r"
+                )
+                found = np.where(base_maybe[idx], _sorted_contains(base_keys, keys), False)
+                for f, rm in run_maybes:
+                    sel = rm[idx] & ~found
+                    if sel.any():
+                        rkeys = np.load(os.path.join(ver_dir, keys_name(f)), mmap_mode="r")
+                        found[sel] |= _sorted_contains(rkeys, keys[sel])
+                seen[idx] = found
+            pdf[out_col] = seen
             return pdf
 
         from pyspark.sql import types as T
@@ -403,7 +511,7 @@ class SegmentStore:
         with_sub = self._with_sub(candidates, meta["n_sub"])
         # StructType.add mutates in place — build a fresh copy
         schema = T.StructType(
-            list(with_sub.schema.fields) + [T.StructField("bloom_maybe", T.BooleanType())]
+            list(with_sub.schema.fields) + [T.StructField(out_col, T.BooleanType())]
         )
         return (
             with_sub.groupBy("domain_hash", "_sub")
@@ -415,11 +523,12 @@ class SegmentStore:
 class _CuckooTable:
     """Minimal cuckoo filter: 4-slot buckets, 16-bit fingerprints.
 
-    Refines bloom positives (second stage) to cut false positives before the
-    exact anti-join (north_star's "cuckoo-filter refinement"; cf. PAPERS.md
-    learned-cuckoo entry for the design space). Never produces a false
-    negative: if any insert fails after max kicks the table is marked
-    saturated and the probe stage skips it.
+    Refines bloom positives in the store's LEGACY (non-exact) mode to cut
+    false positives before the Spark anti-join backstop (north_star's
+    "cuckoo-filter refinement"; cf. PAPERS.md learned-cuckoo entry). Never
+    produces a false negative: if any insert fails after max kicks the table
+    is marked saturated and the probe stage skips it. The exact key runs
+    supersede it when present.
 
     ``insert_many`` is bulk-vectorized (r1 VERDICT top item): keys are placed
     with numpy group-rank scatters — two passes over (i1, i2) each — and only

@@ -1,4 +1,4 @@
-"""J1/J2 — URL-seen dedup: bloom/cuckoo pre-filter + exact anti-join backstop.
+"""J1/J2 — URL-seen dedup: segment-store membership + exact anti-join backstop.
 
 Reference semantics: drop already-seen keys BEFORE any fetch —
 ``addresses.difference(ignored)`` (contract_crawler.py:466-468), dir-existence
@@ -7,21 +7,30 @@ That dedup-before-fetch ordering is the reference's one real optimization
 (SURVEY.md §4 O1); Catalyst cannot reorder across the Python fetch barrier,
 so this module constructs the plan in that order by hand.
 
-Plan shape (scale rationale):
-  candidates --(bloom/cuckoo probe, grouped by domain_hash)--> split
-     bloom_maybe = False  -> DEFINITELY new (skips the join entirely; at a
-                             ~1% duplicate+FP rate this removes ~99% of probe
-                             traffic from the shuffle)
+Two plans, picked by what the store can prove:
+
+EXACT STORE PATH (the 10^10 path — no url_seen scan at all):
+  candidates --(grouped probe: bloom short-circuit + binary search over
+               mmap'd sorted key runs)--> seen: boolean (EXACT)
+  unseen = filter(~seen). The url_seen TABLE is never joined — the per-epoch
+  dedup cost is O(candidates × log(segment)), not O(total seen). This is
+  what kills the last O(total)-per-epoch stage in the engine: a Spark
+  anti-join must scan/build over the whole seen side every epoch no matter
+  how good the pre-filter is.
+
+LEGACY / FALLBACK PATH (store missing, stale after a crash, or pre-exact
+version):
+  candidates --(bloom/cuckoo probe)--> split
+     bloom_maybe = False  -> DEFINITELY new (skips the join entirely)
      bloom_maybe = True   -> exact left_anti join vs url_seen (sort-merge at
-                             scale; both sides pre-bucketed by domain_hash so
-                             AQE can plan a co-located join)
-  union of the two = unseen frontier. Exact parity is guaranteed regardless
-  of bloom FPR; a bloom false positive only costs one extra join probe.
+                             scale; both sides pre-bucketed by domain_hash)
+  union of the two = unseen frontier. Always exact regardless of FPR.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .bloom import SegmentStore
 
@@ -37,10 +46,14 @@ def unseen_with_bloom(
     store: SegmentStore | None,
     version: int | None,
 ) -> DataFrame:
-    """Bloom/cuckoo-accelerated J1 (falls back to exact when no segments)."""
+    """Store-accelerated J1 (falls back to the exact join when it must)."""
     if store is None or version is None or version not in store.versions():
         return anti_join_seen(candidates, seen)
+    cols = candidates.columns  # probe's dim join moves the key column first
+    if store.supports_exact(version):
+        probed = store.probe(candidates, version, exact=True)
+        return probed.filter(~probed.seen).drop("seen").select(cols)
     probed = store.probe(candidates, version)
     definitely_new = probed.filter(~probed.bloom_maybe).drop("bloom_maybe")
     maybe_seen = probed.filter(probed.bloom_maybe).drop("bloom_maybe")
-    return definitely_new.unionByName(anti_join_seen(maybe_seen, seen))
+    return definitely_new.unionByName(anti_join_seen(maybe_seen, seen)).select(cols)

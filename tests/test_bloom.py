@@ -105,7 +105,7 @@ def test_sub_segmentation_bounds_segment_size(spark, tmp_path):
     )
     store.build(seen, version=1)
     vdir = tmp_path / "segs" / "v000001"
-    segs = [f for f in os.listdir(vdir) if f.startswith("seg")]
+    segs = [f for f in os.listdir(vdir) if f.startswith("seg") and f.endswith(".npz")]
     assert len(segs) >= 4  # ~2000 keys/bucket over target 500 -> >=4 subs
     for f in segs:
         seg = np.load(vdir / f)
@@ -169,7 +169,7 @@ def test_ten_million_key_store_bounded_segments(spark, tmp_path):
     counts = store.build(seen, version=1)
     assert sum(counts.values()) == n
     vdir = tmp_path / "segs" / "v000001"
-    segs = [f for f in os.listdir(vdir) if f.startswith("seg")]
+    segs = [f for f in os.listdir(vdir) if f.startswith("seg") and f.endswith(".npz")]
     assert len(segs) >= 8 * (n // n_buckets // target)  # parallelism scales with keys
     budget_bytes = 16 * 1024 * 1024  # bitmap budget per segment task
     for f in segs:
@@ -207,3 +207,67 @@ def test_bloom_fpr_measured(spark, tmp_path):
     )
     fpr = store.probe(probe, version=1).toPandas().bloom_maybe.mean()
     assert fpr < 0.02
+
+
+def test_exact_membership_no_errors_across_deltas(spark, tmp_path):
+    """LSM exact mode: zero false positives AND zero false negatives vs a
+    python set, across base build + two delta runs + a fold rebuild."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 4
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=300)
+
+    def df_of(keys):
+        return spark.createDataFrame(
+            [(k, int(k[:4], 16) % n_buckets) for k in keys],
+            "url_sha1 string, domain_hash int",
+        )
+
+    base = _keys(600)
+    d1 = _keys(200, salt="d1")
+    d2 = _keys(900, salt="d2")  # big delta -> 2x-target fold triggers
+    store.build(df_of(base), version=1)
+    store.build_delta(df_of(d1), df_of(base + d1), 1, 2)
+    store.build_delta(df_of(d2), df_of(base + d1 + d2), 2, 3)
+    assert store.supports_exact(3)
+
+    inserted = set(base + d1 + d2)
+    fresh = _keys(800, salt="nope")
+    probe_all = df_of(list(inserted) + fresh)
+    got = {r["url_sha1"]: r["seen"] for r in store.probe(probe_all, 3, exact=True).collect()}
+    for k in inserted:
+        assert got[k] is True, "false negative"
+    for k in fresh:
+        assert got[k] is False, "false positive"
+    # delta versions carry hardlinked bases + small run files
+    import os
+
+    v2 = [f for f in os.listdir(tmp_path / "segs" / "v000002") if ".r" in f and f.endswith(".npz")]
+    assert v2, "delta version should hold LSM run files"
+
+
+def test_unseen_exact_path_matches_anti_join(spark, tmp_path):
+    """The engine's store-based dedup (no url_seen join) must equal the
+    exact anti-join answer row-for-row."""
+    from etherscan_contract_crawler_spark.operators.dedup import (
+        anti_join_seen,
+        unseen_with_bloom,
+    )
+
+    n_buckets = 4
+    seen_keys = _keys(1500)
+    cand_keys = seen_keys[700:] + _keys(900, salt="new")
+    seen = spark.createDataFrame(
+        [(k, int(k[:4], 16) % n_buckets) for k in seen_keys],
+        "url_sha1 string, domain_hash int",
+    )
+    cands = spark.createDataFrame(
+        [(k, int(k[:4], 16) % n_buckets, i) for i, k in enumerate(cand_keys)],
+        "url_sha1 string, domain_hash int, payload int",
+    )
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=400)
+    store.build(seen, version=1)
+    via_store = {tuple(r) for r in unseen_with_bloom(cands, seen, store, 1).collect()}
+    via_join = {tuple(r) for r in anti_join_seen(cands, seen).collect()}
+    assert via_store == via_join
+    assert len(via_store) == 900
