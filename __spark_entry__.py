@@ -1022,6 +1022,47 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(e, q, k=5)
 
 
+# dedup CLUSTERING — connected components over dup edges via iterative
+# min-label propagation (analytics/dedup.py neardup_components, a
+# driver-looped iterative algorithm). Edges: chains within exact-fingerprint
+# groups (lag over the group window), so multi-hop propagation is exercised.
+# Oracle: DuckDB recursive-CTE transitive closure — an independent
+# formulation of the same components.
+@_q(
+    "dedup_components",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), chain AS (
+      SELECT doc_id, lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev FROM d
+    ), sym AS (
+      SELECT prev AS a, doc_id AS b FROM chain WHERE prev IS NOT NULL
+      UNION
+      SELECT doc_id AS a, prev AS b FROM chain WHERE prev IS NOT NULL
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+    ), m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS component
+    FROM d LEFT JOIN m ON m.a = d.doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import neardup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    chain = fp.withColumn("prev", F.lag("doc_id").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    edges = chain.select(F.col("prev").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return neardup_components(docs.select("doc_id"), edges)
+
+
 # approximate ANN (LSH-bucketed) — no SQL oracle by design (approximate op);
 # driver records the weaker rows-only check. Recall pinned by
 # tests/test_analytics_extra.py::test_ann_lsh_recall_floor.
@@ -1112,6 +1153,62 @@ def text_quality(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _retention_sql() -> str:
+    """The full training-data retention decision as one SQL statement —
+    composed from the SAME aligned fragments the individual text queries
+    use, so a drift in any one of them breaks two oracles."""
+    return f"""
+    WITH lang AS ({_langid_sql()}),
+    q AS ({_quality_sql()}),
+    t AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+          FROM documents),
+    fp AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+           FROM documents),
+    canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint)
+    SELECT l.doc_id, l.lang_guess, q.quality, t.n_tokens,
+           CAST(f.doc_id = c.keep_id AS BOOLEAN) AS is_canonical,
+           CAST(l.lang_guess <> 'unknown' AND q.quality >= 0.5
+                AND t.n_tokens BETWEEN 10 AND 100000
+                AND f.doc_id = c.keep_id AS BOOLEAN) AS keep
+    FROM lang l
+    JOIN q ON q.doc_id = l.doc_id
+    JOIN t ON t.doc_id = l.doc_id
+    JOIN fp f ON f.doc_id = l.doc_id
+    JOIN canon c ON c.fingerprint = f.fingerprint
+    """
+
+
+# the end-to-end training-data retention decision: language ∧ quality ∧
+# token bounds ∧ exact-dedup canonicality — the pipeline composition a data
+# curator actually runs (each predicate is its own oracle-checked operator
+# above; this query pins their composition)
+@_q("corpus_retention", _retention_sql())
+def corpus_retention(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lang = lang_id(docs).select("doc_id", "lang_guess")
+    q = quality_score(docs).select("doc_id", "quality")
+    toks = token_count(docs)
+    fp = fingerprint(docs)
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        lang.join(q, "doc_id")
+        .join(toks, "doc_id")
+        .join(fp, "doc_id")
+        .join(canon, "fingerprint")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("keep_id"))
+        .withColumn(
+            "keep",
+            (F.col("lang_guess") != "unknown")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(10, 100000)
+            & F.col("is_canonical"),
+        )
+        .select("doc_id", "lang_guess", "quality", "n_tokens", "is_canonical", "keep")
+    )
 
 
 # rolling-hash winnowing fingerprints (MOSS) — k=8-gram hashes, window w=4

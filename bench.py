@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_lang_id",
+    "registrable_domain_psl",
+    "corpus_retention",
+    "dedup_components",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

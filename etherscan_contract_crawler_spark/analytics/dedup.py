@@ -115,6 +115,54 @@ def jaccard_pairs(
     )
 
 
+def neardup_components(
+    vertices: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs — the CLUSTERING step of a
+    dedup pipeline (pair generators like minhash_lsh_pairs/jaccard_pairs
+    emit edges; this turns them into canonical groups so 'keep one doc per
+    component' is a min() away).
+
+    Iterative min-label propagation: every vertex starts as its own label;
+    each round pushes labels across edges and keeps the per-vertex min;
+    converges in O(component diameter) rounds (a genuinely iterative
+    algorithm — no single SQL expression computes it; the driver-side loop
+    runs one bounded Spark job per round and stops at fixpoint). Each
+    round's result is persisted and localCheckpoint-ed so plan lineage
+    stays O(1) instead of O(rounds) — the standard guard for iterative
+    DataFrame algorithms at scale.
+
+    vertices: (doc_id); edges: (doc_a, doc_b) undirected.
+    Returns (doc_id, component) with component = min doc_id reachable.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = vertices.select(
+        F.col("doc_id"), F.col("doc_id").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("component", "c_new")
+            .join(labels.withColumnRenamed("component", "c_old"), "doc_id")
+            .filter(F.col("c_new") != F.col("c_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = MINHASH_N, key_col: str = "doc_id"
 ) -> DataFrame:

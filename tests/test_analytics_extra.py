@@ -201,3 +201,16 @@ def test_ann_ivf_recall_floor_and_partition(spark):
     n = emb.count()
     assert cells.count() == n  # every vector assigned
     assert cells.select("_aid").distinct().count() == n  # exactly once
+
+
+def test_neardup_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-chain needs multi-hop rounds; islands keep
+    their own label; a separate pair stays separate."""
+    from etherscan_contract_crawler_spark.analytics.dedup import neardup_components
+
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 10, 11]], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in neardup_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
