@@ -421,8 +421,19 @@ class CrawlEngine:
         done: dict[str, int] = {}
         if len(self.frontier.manifest()["data_dirs"]) > 1:
             # compaction with the dedup rule — keeps the single-dir frontier
-            # key-unique so pending()'s agg-skip stays sound
-            self.frontier.overwrite(self._dedup_frontier(self.frontier.read(self.spark)))
+            # key-unique so pending()'s agg-skip stays sound — AND drops
+            # already-seen rows: a seen key can never be scheduled again
+            # (pending() anti-joins it out every epoch), so keeping it makes
+            # every future epoch's probe pay for all of crawl history.
+            # After this rewrite the frontier is O(genuinely pending), not
+            # O(ever discovered). The O(total) exact anti-join is fine HERE:
+            # it runs once per compaction cadence, not per epoch.
+            live = self._dedup_frontier(self.frontier.read(self.spark)).join(
+                self.url_seen.read(self.spark).select("url_sha1"),
+                "url_sha1",
+                "left_anti",
+            )
+            self.frontier.overwrite(live)
             done["frontier_compacted"] = 1
         for name, t in (("url_seen", self.url_seen), ("dead_letter", self.dead_letter)):
             if len(t.manifest()["data_dirs"]) > 1:

@@ -1,0 +1,94 @@
+"""Multimodal plumbing: audio features, video frame sampling, real image
+resize — Arrow-batched operators over opaque binary + typed metadata."""
+
+import numpy as np
+import pytest
+
+from etherscan_contract_crawler_spark.functions.media import (
+    AUDIO_DDL,
+    VIDEO_DDL,
+    audio_features,
+    decode_audio,
+    decode_video_frames,
+    resize_images,
+    sample_frames,
+    synth_audio_payload,
+    synth_video_payload,
+)
+
+
+def _audio_df(spark, n=6):
+    rows = []
+    for i in range(n):
+        mid = f"clip{i}"
+        b, sr, ch, ns = synth_audio_payload(mid)
+        rows.append((mid, b, "synth", sr, ch, ns))
+    return spark.createDataFrame(rows, AUDIO_DDL)
+
+
+def _video_df(spark, n=4):
+    rows = []
+    for i in range(n):
+        mid = f"vid{i}"
+        b, w, h, fps, nf = synth_video_payload(mid)
+        rows.append((mid, b, "synth", w, h, fps, nf))
+    return spark.createDataFrame(rows, VIDEO_DDL)
+
+
+def test_audio_features_deterministic_and_sane(spark):
+    feats = {r.media_id: r for r in audio_features(_audio_df(spark)).collect()}
+    assert len(feats) == 6
+    for r in feats.values():
+        assert r.n_samples == 4000
+        assert 0.1 < r.rms < 0.9          # a sine + noise mix, not silence
+        assert 0.0 < r.zero_cross_rate < 0.5
+        assert r.clip_fraction < 0.05
+    # deterministic: same ids -> identical features on a second run
+    again = {r.media_id: r for r in audio_features(_audio_df(spark)).collect()}
+    assert {m: f.rms for m, f in feats.items()} == {m: f.rms for m, f in again.items()}
+
+
+def test_audio_real_codec_is_gated():
+    with pytest.raises(NotImplementedError) as e:
+        decode_audio(b"\x00" * 16, "wav", 8)
+    assert "soundfile" in str(e.value)
+
+
+def test_video_frame_sampling_counts_and_content(spark):
+    frames = sample_frames(_video_df(spark), every_n=4).collect()
+    # 12 frames, every 4th -> idx 0,4,8 per video
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert all(sorted(f.frame_idx for f in fs) == [0, 4, 8] for fs in by_vid.values())
+    # frame bytes round-trip against the deterministic decoder
+    r0 = next(r for r in frames if r.media_id == "vid0" and r.frame_idx == 4)
+    b, w, h, fps, nf = synth_video_payload("vid0")
+    expect = decode_video_frames(b, "synth", w, h, nf)[4]
+    got = np.frombuffer(r0.frame_bytes, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, expect)
+
+
+def test_video_real_codec_is_gated():
+    with pytest.raises(NotImplementedError) as e:
+        decode_video_frames(b"", "mp4", 8, 8, 1)
+    assert "av" in str(e.value)
+
+
+def test_resize_images_real_roundtrip(spark):
+    from etherscan_contract_crawler_spark.functions.images import decode_image, encode_png
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(4):
+        px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        rows.append((f"img{i}", encode_png(px), 32, 24, "png"))
+    rows.append(("notpng", b"\x01\x02", 2, 1, "qjpg"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r.image_id: r for r in resize_images(df, out_w=16, out_h=12).collect()}
+    for i in range(4):
+        r = out[f"img{i}"]
+        assert r.resized and (r.w, r.h) == (16, 12)
+        px = decode_image(bytes(r.bytes))
+        assert px.shape == (12, 16, 3)
+    assert out["notpng"].resized is False  # pass-through, codec-gated elsewhere
