@@ -11,7 +11,7 @@ One epoch = one deterministic, resumable unit:
     raw(failed) ───────────────────────────────────────────────► dead_letter MERGE
     scheduled ──mark-at-attempt (K5 semantics)─────────────────► url_seen MERGE
                                                                 + lineage commit
-    url_seen ──rebuild bloom/cuckoo segments (per-bucket)──────► segment store
+    epoch delta ──append LSM run per touched segment───────────► segment store
 
 Commit ordering makes every write idempotent (MERGE not-matched on a key), so
 a crash anywhere mid-epoch resumes cleanly: the url_seen merge carries the
@@ -70,6 +70,9 @@ class EngineConfig:
     #: metadata-table compaction/expiry cadence (epochs); bounds manifest and
     #: data-dir accretion (Iceberg rewrite_data_files/expire_snapshots analog)
     compact_every: int = 16
+    #: dedup plan: "auto" = cost gate (join while seen ≲ frontier, store in
+    #: steady state), "store" / "join" force one side (tests, ops overrides)
+    dedup_plan: str = "auto"
     extra: dict = field(default_factory=dict)
 
 
@@ -132,6 +135,20 @@ class CrawlEngine:
         v = self._bloom_version()
         expected = self.last_completed_epoch() + 1
         store = self.segments if (self.cfg.use_bloom and v == expected and v is not None) else None
+        if store is not None and self.cfg.dedup_plan == "join":
+            store = None
+        elif store is not None and self.cfg.dedup_plan == "auto":
+            # cost gate (both answers are exact — this only picks the plan):
+            # the store probe pays an Arrow-into-Python tax per CANDIDATE;
+            # the anti-join pays a scan/shuffle over the whole SEEN side.
+            # While the crawl is young (seen ≲ frontier) the join wins;
+            # in steady state after frontier GC (seen ≫ pending) the store
+            # wins and keeps the epoch independent of total crawl history.
+            # Counts come from parquet footers — no job.
+            seen_total = self.url_seen.row_count()
+            cand_total = max(1, self.frontier.row_count())
+            if seen_total < 8 * cand_total:
+                store = None
         # frontier appends (expansion) can re-discover a known URL under a new
         # priority — collapse duplicates with the same max-priority/min-url
         # rule as ingest (hash agg, map-side combinable; same shuffle key as
@@ -325,11 +342,12 @@ class CrawlEngine:
         _mark("url_seen_merge")
 
         if cfg.use_bloom:
-            # O(epoch delta), not O(total seen): OR the newly-marked keys
-            # into the previous segments (full per-bucket rebuild only when a
-            # segment's 2x headroom is exhausted). Delta is valid only from
-            # the immediately-previous version; anything else (crash gap)
-            # falls back to a full rebuild from url_seen.
+            # O(epoch delta), not O(total seen): the LSM store hardlinks the
+            # previous version and appends ONE run (small bloom + sorted
+            # keys) per touched segment; a bucket folds its runs into a
+            # fresh base only at MAX_RUNS / 2x-target (compaction). Delta is
+            # valid only from the immediately-previous version; anything
+            # else (crash gap) falls back to a full rebuild from url_seen.
             prev = self._bloom_version()
             self.segments.build_delta(
                 scheduled.select("url_sha1", "domain_hash"),

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from .bloom import SegmentStore
 
+__all__ = ["anti_join_seen", "unseen_with_bloom"]
+
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """Exact J1: candidates not present in seen (key: url_sha1)."""
@@ -51,8 +53,19 @@ def unseen_with_bloom(
         return anti_join_seen(candidates, seen)
     cols = candidates.columns  # probe's dim join moves the key column first
     if store.supports_exact(version):
-        probed = store.probe(candidates, version, exact=True)
-        return probed.filter(~probed.seen).drop("seen").select(cols)
+        # probe a 2-column PROJECTION, not the full rows: the probe's cost is
+        # dominated by the Arrow round trip into Python (measured ~0.3 ms/row
+        # single-core for 10-column frontier rows), and only the key columns
+        # participate. The discovered seen-keys set is bounded by the
+        # CANDIDATE count — so the anti-join that re-applies it to the full
+        # rows never touches the url_seen table and stays independent of
+        # total-seen size (AQE broadcasts it when small).
+        seen_keys = (
+            store.probe(candidates.select("url_sha1", "domain_hash"), version, exact=True)
+            .filter(F.col("seen"))
+            .select("url_sha1")
+        )
+        return candidates.join(seen_keys, "url_sha1", "left_anti").select(cols)
     probed = store.probe(candidates, version)
     definitely_new = probed.filter(~probed.bloom_maybe).drop("bloom_maybe")
     maybe_seen = probed.filter(probed.bloom_maybe).drop("bloom_maybe")

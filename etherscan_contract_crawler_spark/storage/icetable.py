@@ -66,6 +66,12 @@ class SnapshotTable:
     def lineage(self, version: int | None = None) -> dict:
         return self.manifest(version).get("lineage", {})
 
+    def row_count(self, version: int | None = None) -> int:
+        """Live row count from parquet footers — driver-side metadata only
+        (the Iceberg analog reads it from snapshot summaries). Used for
+        cost-based plan choices (e.g. dedup store-vs-join) without a job."""
+        return sum(_parquet_rows(d) for d in self.manifest(version)["data_dirs"])
+
     def snapshot_ids(self) -> list[int]:
         if not os.path.isdir(self._snap_dir):
             return []

@@ -30,11 +30,20 @@ def _run_engine(spark, seeds_df, tmp_path, **cfg_kw):
     return eng, orders, seen, images, dead
 
 
-@pytest.mark.parametrize("use_bloom", [True, False])
-def test_engine_matches_oracle(spark, tiny_seed_rows, tiny_seeds_df, tmp_path, use_bloom):
+@pytest.mark.parametrize(
+    "use_bloom,dedup_plan",
+    [
+        (True, "auto"),   # cost gate picks the plan per epoch
+        (True, "store"),  # exact LSM-store dedup forced — no url_seen join
+        (False, "auto"),  # plain exact anti-join
+    ],
+)
+def test_engine_matches_oracle(
+    spark, tiny_seed_rows, tiny_seeds_df, tmp_path, use_bloom, dedup_plan
+):
     eng, orders, seen, images, dead = _run_engine(
         spark, tiny_seeds_df, tmp_path, epoch_duration_s=10, batch_size=150,
-        use_bloom=use_bloom,
+        use_bloom=use_bloom, dedup_plan=dedup_plan,
     )
     oracle = run_oracle(
         tiny_seed_rows, epoch_duration_s=10, batch_size=150, max_epochs=30
