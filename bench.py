@@ -111,7 +111,7 @@ def measure_mp_ceiling(total: int = 12_800, repeats: int = 2) -> dict:
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(v, "1")
     thr = {}
-    for procs in (4, 16):
+    for procs in (1, 4, 16):
         walls = []
         chunks = [
             (w * total // procs, (w + 1) * total // procs) for w in range(procs)
@@ -123,11 +123,18 @@ def measure_mp_ceiling(total: int = 12_800, repeats: int = 2) -> dict:
                 pool.map(_mp_payload_work, chunks)
                 walls.append(time.time() - t0)
         thr[procs] = total / min(walls)
+    # this probe doubles as the BOX-HEALTH CANARY: it is pure numpy +
+    # multiprocessing (no Spark), so when its absolute URLs/s moves between
+    # runs, the box moved, not the engine — read the engine's efficiencies
+    # against the same window's ceilings, and its absolute throughput
+    # against the same window's canary throughput.
     return {
         "method": "multiprocessing pool, same payload work as the synthetic "
         "fetcher, same total work per level, best-of-%d" % repeats,
+        "urls_per_sec_1proc": round(thr[1], 1),
         "urls_per_sec_4proc": round(thr[4], 1),
         "urls_per_sec_16proc": round(thr[16], 1),
+        "ceiling_1_to_4": round(thr[4] / thr[1] / 4.0, 3),
         "ceiling_4_to_16": round(thr[16] / thr[4] / 4.0, 3),
     }
 
