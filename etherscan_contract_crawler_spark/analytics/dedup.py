@@ -123,14 +123,24 @@ def neardup_components(
     emit edges; this turns them into canonical groups so 'keep one doc per
     component' is a min() away).
 
-    Iterative min-label propagation: every vertex starts as its own label;
-    each round pushes labels across edges and keeps the per-vertex min;
-    converges in O(component diameter) rounds (a genuinely iterative
-    algorithm — no single SQL expression computes it; the driver-side loop
-    runs one bounded Spark job per round and stops at fixpoint). Each
-    round's result is persisted and localCheckpoint-ed so plan lineage
+    Iterative min-label propagation with POINTER JUMPING: every vertex
+    starts as its own label; each round (a) pushes labels across edges and
+    keeps the per-vertex min, then (b) replaces each vertex's label with its
+    label-vertex's label (component ids are themselves doc_ids, so the
+    lookup is a self-join). The jump lets information travel through the
+    current component head, not just one edge hop — a path graph converges
+    in O(log n) rounds instead of O(n) (the large-star/small-star idea from
+    the MapReduce connected-components literature, r2 VERDICT #7 / ADVICE).
+    A genuinely iterative algorithm — no single SQL expression computes it;
+    the driver-side loop runs one bounded Spark job per round and stops at
+    fixpoint. Each round's result is localCheckpoint-ed so plan lineage
     stays O(1) instead of O(rounds) — the standard guard for iterative
     DataFrame algorithms at scale.
+
+    Raises RuntimeError if max_iters rounds pass without reaching fixpoint
+    (r2 ADVICE: silently returning non-converged labels yields wrong
+    components) — with jumping, 25 rounds cover components of diameter
+    ~2^25, so hitting the guard means something is genuinely wrong.
 
     vertices: (doc_id); edges: (doc_a, doc_b) undirected.
     Returns (doc_id, component) with component = min doc_id reachable.
@@ -145,10 +155,25 @@ def neardup_components(
         prop = sym.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "component")
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component <- label(component). Component ids are
+        # doc_ids, so look the parent's own label up in the same table; the
+        # min keeps monotonicity (labels only ever decrease -> fixpoint).
+        parent = hop.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("_grand")
+        )
+        new_labels = (
+            hop.join(parent, "component", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("_grand", "component")).alias(
+                    "component"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -159,8 +184,12 @@ def neardup_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iters} rounds "
+        "(pointer-jumped min-label propagation; raise max_iters or check the "
+        "edge set for pathological structure)"
+    )
 
 
 def minhash_signatures(

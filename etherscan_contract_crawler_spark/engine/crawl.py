@@ -225,20 +225,23 @@ class CrawlEngine:
         # scheduled ⊆ unseen already excludes everything url_seen knows, so
         # the ONLY keys that could double-land are this epoch's own payloads
         # committed in the crash window between images commit and url_seen
-        # merge. That window is detectable from the images lineage (epoch
-        # stamped at commit) and its payloads live in exactly the last
-        # committed data dir — anti-join against that one dir's ids instead
-        # of scanning the cumulative images table every epoch.
+        # merge. The manifest stamps each data dir with its commit epoch, so
+        # the guard anti-joins the union of ALL dirs this epoch landed — a
+        # second crash in the same window commits a second dir, and guarding
+        # only the last one would re-land the first replay's payloads
+        # (duplicate image_id rows; r2 ADVICE). Dir count is bounded by the
+        # crash count, so this stays O(epoch), never O(history).
         to_fetch = scheduled
         img_manifest = self.images.manifest()
-        if (
-            img_manifest.get("lineage", {}).get("epoch") == epoch
-            and img_manifest.get("op") == "append-staged"
-            and img_manifest["data_dirs"]
-        ):
+        epoch_dirs = [
+            d
+            for d in img_manifest["data_dirs"]
+            if img_manifest.get("dir_epochs", {}).get(d) == epoch
+        ]
+        if img_manifest.get("lineage", {}).get("epoch") == epoch and epoch_dirs:
             landed = (
                 self.spark.read.schema(IMAGES_DDL)
-                .parquet(img_manifest["data_dirs"][-1])
+                .parquet(*epoch_dirs)
                 .select(F.col("image_id").alias("url_sha1"))
             )
             to_fetch = scheduled.join(landed, "url_sha1", "left_anti")

@@ -96,17 +96,32 @@ class BlockStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        """Poll: emit every block at or past the cursor, advance the cursor.
-        At-least-once within the micro-batch contract; Spark's offset log
-        turns it exactly-once end-to-end (checkpointed like T3)."""
+        """Poll: emit the CONTIGUOUS run of blocks from the cursor, advance
+        the cursor past it. Stopping at the first gap is what makes the
+        exactly-once claim hold under out-of-order landing (r2 ADVICE): if
+        block n+1 appears before block n, advancing to the max would skip n
+        forever once it lands; instead n+1 waits in place until n fills the
+        gap. Chains number blocks densely from genesis, so a gap is always
+        "not yet landed", never "will never exist". At-least-once within the
+        micro-batch contract; Spark's offset log turns it exactly-once
+        end-to-end (checkpointed like T3)."""
         cursor = int(start["block"])
-        new = [b for b in self._available_blocks() if b >= cursor]
+        avail = self._available_blocks()
+        new = [b for b in avail if b >= cursor]
         if not new:
             return iter([]), start
+        if new[0] > cursor and cursor == 0:
+            # genesis snap: the chain's first block may legitimately be > 0
+            # (pruned node / non-zero genesis); only the INITIAL offset may
+            # jump forward — a later gap always means an in-flight block.
+            cursor = new[0]
+        run = [b for i, b in enumerate(new) if b == cursor + i and b >= cursor]
+        if not run or run[0] != cursor:
+            return iter([]), start  # cursor block still in flight
         rows: list[tuple] = []
-        for b in new:  # in-order, like the reference's filter delivery
+        for b in run:  # in-order, like the reference's filter delivery
             rows.extend(self._read_block(b))
-        return iter(rows), {"block": new[-1] + 1}
+        return iter(rows), {"block": run[-1] + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay for recovery: re-serve [start, end)."""

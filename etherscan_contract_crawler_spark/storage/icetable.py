@@ -84,7 +84,7 @@ class SnapshotTable:
         os.makedirs(self._data_dir, exist_ok=True)
         self._commit(0, parent=None, dirs=[], schema_ddl=schema_ddl, lineage={}, op="create")
 
-    def _commit(self, sid, parent, dirs, schema_ddl, lineage, op) -> int:
+    def _commit(self, sid, parent, dirs, schema_ddl, lineage, op, dir_epochs=None) -> int:
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
@@ -92,6 +92,15 @@ class SnapshotTable:
             "schema_ddl": schema_ddl,
             "lineage": lineage,
             "op": op,
+            # per-data-dir commit epoch (Iceberg snapshot-summary analog):
+            # lets the engine's mid-epoch replay guard find ALL dirs a
+            # crash-replayed epoch already landed, not just the last one —
+            # two crashes in the images-commit -> url_seen-append window
+            # would otherwise re-land the first replay's payloads. Pruned to
+            # live dirs so compaction/overwrite don't accrete stale entries.
+            "dir_epochs": {
+                d: e for d, e in (dir_epochs or {}).items() if d in dirs
+            },
         }
         tmp = self._manifest_path(sid) + ".tmp"
         with open(tmp, "w") as f:
@@ -110,13 +119,23 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(d)
         return d, _parquet_rows(d)
 
+    @staticmethod
+    def _stamp_dir_epochs(prev: dict, new_dirs: list[str], lineage: dict | None) -> dict:
+        de = dict(prev.get("dir_epochs", {}))
+        ep = (lineage or {}).get("epoch")
+        if ep is not None:
+            for d in new_dirs:
+                de[d] = ep
+        return de
+
     def append(self, df: DataFrame, lineage: dict | None = None) -> int:
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
         d, _ = self._write_data(df, sid)
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         return self._commit(
-            sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"], merged_lineage, "append"
+            sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"],
+            merged_lineage, "append", self._stamp_dir_epochs(prev, [d], lineage),
         )
 
     def merge_not_matched(
@@ -143,14 +162,14 @@ class SnapshotTable:
             return (
                 self._commit(
                     sid, prev["snapshot_id"], prev["data_dirs"], prev["schema_ddl"],
-                    merged_lineage, "merge-noop",
+                    merged_lineage, "merge-noop", prev.get("dir_epochs"),
                 ),
                 0,
             )
         return (
             self._commit(
                 sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"],
-                merged_lineage, "merge",
+                merged_lineage, "merge", self._stamp_dir_epochs(prev, [d], lineage),
             ),
             n,
         )
@@ -165,7 +184,8 @@ class SnapshotTable:
         d, _ = self._write_data(df, sid)
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         return self._commit(
-            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "overwrite"
+            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "overwrite",
+            self._stamp_dir_epochs(prev, [d], lineage),
         )
 
     def staging_raw_dir(self) -> tuple[int, str]:
@@ -195,7 +215,8 @@ class SnapshotTable:
         dirs = prev["data_dirs"] + ([staged_dir] if n else [])
         return (
             self._commit(sid, prev["snapshot_id"], dirs, prev["schema_ddl"], merged_lineage,
-                         "append-staged" if n else "append-staged-empty"),
+                         "append-staged" if n else "append-staged-empty",
+                         self._stamp_dir_epochs(prev, [staged_dir] if n else [], lineage)),
             n,
         )
 
@@ -211,7 +232,8 @@ class SnapshotTable:
         d, _ = self._write_data(self.read(spark), sid)
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         return self._commit(
-            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "compact"
+            sid, prev["snapshot_id"], [d], prev["schema_ddl"], merged_lineage, "compact",
+            self._stamp_dir_epochs(prev, [d], lineage),
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:

@@ -57,7 +57,13 @@ def _admit_group(
         used_col = []
         for ts in pdf["batch_ts"]:
             epoch = int(ts) // period_s
-            if epoch != window_epoch:
+            # reset only on a NEWER window: a late/out-of-order row carrying
+            # an older batch_ts must NOT re-open its stale window — that
+            # would grant a fresh bucket for the stale window and another
+            # when the current one resumes, over-admitting past max_calls
+            # (r2 ADVICE). Late rows draw from the current window's bucket
+            # instead (conservative: never admits more than budgeted).
+            if epoch > window_epoch:
                 window_epoch, tokens_used = epoch, 0
             if tokens_used < max_calls:
                 tokens_used += 1

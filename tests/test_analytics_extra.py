@@ -214,3 +214,21 @@ def test_neardup_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.component for r in neardup_components(vertices, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_neardup_components_long_chain_converges_fast(spark):
+    """A 1000-vertex path graph (diameter 999) must converge within the
+    default 25-round budget — pointer jumping makes rounds O(log n); plain
+    one-hop propagation would need ~1000 rounds and (since r3) raise
+    instead of silently returning wrong labels (r2 ADVICE)."""
+    from etherscan_contract_crawler_spark.analytics.dedup import neardup_components
+
+    n = 1000
+    vertices = spark.createDataFrame([(f"d{i:04d}",) for i in range(n)], "doc_id string")
+    edges = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.component for r in neardup_components(vertices, edges).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"d0000"}, "single chain must collapse to one component"

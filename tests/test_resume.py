@@ -135,3 +135,56 @@ def test_maintenance_preserves_results_and_bounds_dirs(spark, tiny_seeds_df, tmp
     assert len(a2.url_seen.manifest()["data_dirs"]) <= 4
     assert len(b.url_seen.manifest()["data_dirs"]) >= 8
     assert len(a2.segments.versions()) <= 2
+
+
+def test_double_crash_same_epoch_replay_is_idempotent(spark, tiny_seeds_df, tmp_path):
+    """TWO crashes inside the images-commit -> url_seen-append window of the
+    same epoch (r2 ADVICE): attempt 1 lands a partial dir, attempt 2 lands
+    the remainder as a SECOND same-epoch dir, and the final replay must
+    anti-join the UNION of both dirs — guarding only the last one would
+    re-fetch and re-commit attempt 1's payloads (duplicate image_id rows)."""
+    import os
+
+    eng = _engine(spark, tmp_path, "dc", epoch_duration_s=10, batch_size=120)
+    eng.bootstrap(tiny_seeds_df)
+    eng.run_epoch(0)
+
+    def _land(subset_df, epoch):
+        results = fetch_batch(subset_df)
+        sid, raw_dir = eng.images.staging_raw_dir()
+        (
+            results.write.mode("overwrite")
+            .option("compression", "none")
+            .partitionBy("valid")
+            .parquet(raw_dir)
+        )
+        eng.images.commit_staged(
+            sid, os.path.join(raw_dir, "valid=true"), lineage={"epoch": epoch}
+        )
+
+    scheduled = schedule_epoch(eng.pending(), epoch_duration_s=10, batch_size=120)
+    scheduled = scheduled.cache()
+    # attempt 1: land ~a third of the batch, crash before url_seen
+    part1 = scheduled.orderBy("url_sha1").limit(40).cache()
+    _land(part1, 1)
+    # attempt 2 (replay): guard skips attempt 1's keys, lands the REST as a
+    # second epoch-1 dir, crashes again before url_seen
+    _land(scheduled.join(part1.select("url_sha1"), "url_sha1", "left_anti"), 1)
+    manifest = eng.images.manifest()
+    epoch1_dirs = [
+        d for d in manifest["data_dirs"] if manifest.get("dir_epochs", {}).get(d) == 1
+    ]
+    assert len(epoch1_dirs) == 2, "test setup: two same-epoch data dirs"
+    images_after_partials = eng.images.read(spark).count()
+
+    # final replay: lineage still says epoch 0 completed -> epoch 1 replays
+    eng2 = _engine(spark, tmp_path, "dc", epoch_duration_s=10, batch_size=120)
+    assert eng2.last_completed_epoch() == 0
+    s = eng2.run_epoch(1)
+    assert s["scheduled"] > 0
+    total = eng2.images.read(spark).count()
+    distinct = eng2.images.read(spark).select("image_id").distinct().count()
+    assert total == distinct, "replay re-landed payloads from the first crash dir"
+    assert total == images_after_partials
+    scheduled.unpersist()
+    part1.unpersist()

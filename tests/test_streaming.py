@@ -168,3 +168,47 @@ def test_discovered_to_frontier(spark):
     assert f[0].domain == "rpc.internal"
     assert f[0].discovered_epoch == 3
     assert f[0].url_sha1 is not None and len(f[0].url_sha1) == 40
+
+
+def test_blockstream_gap_backfill_not_skipped(tmp_path):
+    """Out-of-order landing (r2 ADVICE): if block 3 appears before block 2,
+    the cursor must NOT advance past the gap — block 2 would be silently
+    lost. The reader emits only the contiguous run and re-serves the held
+    block once the gap fills. Pure reader-level test (no stream needed)."""
+    from etherscan_contract_crawler_spark.sources.blockstream import BlockStreamReader
+
+    chain = str(tmp_path / "chain")
+    tx = [{"tx_hash": "0xt", "to_addr": "0xB", "code_present": True}]
+    write_block_file(chain, 0, "2024-01-01T12:00:00", tx)
+    write_block_file(chain, 1, "2024-01-01T12:01:00", tx)
+    r = BlockStreamReader({"path": chain})
+    rows, off = r.read(r.initialOffset())
+    assert sorted({t[0] for t in rows}) == [0, 1]
+    assert off == {"block": 2}
+
+    # block 3 lands BEFORE block 2 — nothing may be emitted yet
+    write_block_file(chain, 3, "2024-01-01T12:03:00", tx)
+    rows, off = r.read(off)
+    assert list(rows) == []
+    assert off == {"block": 2}, "cursor advanced over the gap"
+
+    # gap fills: both 2 and 3 are delivered, in order
+    write_block_file(chain, 2, "2024-01-01T12:02:00", tx)
+    rows, off = r.read(off)
+    assert sorted({t[0] for t in rows}) == [2, 3]
+    assert off == {"block": 4}
+
+
+def test_blockstream_nonzero_genesis(tmp_path):
+    """A pruned node whose first block is > 0 must still start (the ONLY
+    forward jump the cursor may take is off the initial offset)."""
+    from etherscan_contract_crawler_spark.sources.blockstream import BlockStreamReader
+
+    chain = str(tmp_path / "chain")
+    tx = [{"tx_hash": "0xt", "to_addr": "0xB", "code_present": True}]
+    write_block_file(chain, 5, "2024-01-01T12:00:00", tx)
+    write_block_file(chain, 6, "2024-01-01T12:01:00", tx)
+    r = BlockStreamReader({"path": chain})
+    rows, off = r.read(r.initialOffset())
+    assert sorted({t[0] for t in rows}) == [5, 6]
+    assert off == {"block": 7}

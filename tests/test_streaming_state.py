@@ -55,3 +55,32 @@ def test_token_bucket_across_batches_and_restart(spark, tmp_path):
         (r.domain, r.url_sha1): r.admitted for r in spark.read.parquet(out_dir).collect()
     }
     assert got3[("d1", "x0")] and got3[("d1", "x1")]
+
+
+def test_late_rows_do_not_reopen_stale_window(spark, tmp_path):
+    """r2 ADVICE: a batch carrying an OLDER batch_ts must not reset the
+    bucket for its stale window (that over-admits: fresh tokens for the
+    stale window, then fresh tokens again when the current window resumes).
+    Late rows draw from the CURRENT window's remaining budget instead."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    # window 0: use 2 of 3 tokens
+    b1 = [("d1", f"u{i}", 100) for i in range(2)]
+    spark.createDataFrame(b1, ROWS_DDL).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, ckpt, out_dir)
+    # window 2 (ts 2200): resets, use 2 of 3
+    b2 = [("d1", f"x{i}", 2200) for i in range(2)]
+    spark.createDataFrame(b2, ROWS_DDL).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, ckpt, out_dir)
+    # LATE rows with ts back in window 0: no reset — one token left in the
+    # current window, so exactly one of the two late rows is admitted
+    b3 = [("d1", "late0", 200), ("d1", "late1", 201)]
+    spark.createDataFrame(b3, ROWS_DDL).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, ckpt, out_dir)
+    got = {
+        r.url_sha1: r.admitted for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got["x0"] and got["x1"]
+    assert got["late0"] and not got["late1"], (
+        "late rows must draw from the current window's bucket, not a fresh one"
+    )
