@@ -73,6 +73,9 @@ class EngineConfig:
     #: dedup plan: "auto" = cost gate (join while seen ≲ frontier, store in
     #: steady state), "store" / "join" force one side (tests, ops overrides)
     dedup_plan: str = "auto"
+    #: schedule plan: "fused" = single admission window (WindowGroupLimit
+    #: skew guard, r3); "salted" = the r2 two-phase windows (comparison)
+    schedule_plan: str = "fused"
     extra: dict = field(default_factory=dict)
 
 
@@ -101,6 +104,11 @@ class CrawlEngine:
             config.bloom_bits_per_key,
             target_keys_per_segment=config.bloom_segment_target_keys,
         )
+        #: cross-epoch schedule state: the global-cap bucket boundaries
+        #: (skips global_topk's sampling job after epoch 0) and the literal
+        #: admission rank bound (computed once; budgets are fixed per run)
+        self._topk_state: dict = {}
+        self._max_capacity: int | None = None
 
     # ---------- bootstrap ----------
     def bootstrap(self, seeds: DataFrame) -> dict:
@@ -196,6 +204,10 @@ class CrawlEngine:
         # scheduled is meta-only (no payload) — cheap to cache; consumed by
         # the fetch input, the url_seen merge (mark-at-attempt covers the
         # whole batch), and the parity-order collect
+        if self._max_capacity is None:
+            from ..operators.politeness import max_epoch_capacity
+
+            self._max_capacity = max_epoch_capacity(self.budgets, cfg.epoch_duration_s)
         scheduled = schedule_epoch(
             self.pending(),
             budgets=self.budgets,
@@ -203,6 +215,9 @@ class CrawlEngine:
             epoch_duration_s=cfg.epoch_duration_s,
             batch_size=cfg.batch_size,
             n_salts=cfg.n_salts,
+            max_capacity=self._max_capacity,
+            plan=cfg.schedule_plan,
+            topk_state=self._topk_state,
         ).cache()
 
         order: list[str] | None = None
@@ -345,18 +360,28 @@ class CrawlEngine:
         _mark("url_seen_merge")
 
         if cfg.use_bloom:
-            # O(epoch delta), not O(total seen): the LSM store hardlinks the
-            # previous version and appends ONE run (small bloom + sorted
-            # keys) per touched segment; a bucket folds its runs into a
+            # O(epoch delta), not O(total seen): the LSM store's new version
+            # holds ONLY this epoch's run files (one small bloom + sorted
+            # keys per touched segment); everything untouched is carried by
+            # reference in the run manifest; a bucket folds its runs into a
             # fresh base only at MAX_RUNS / 2x-target (compaction). Delta is
             # valid only from the immediately-previous version; anything
             # else (crash gap) falls back to a full rebuild from url_seen.
+            # Per-bucket delta counts are already known from the landed-file
+            # stats — pass them so the store skips its counting job (valid
+            # only when the replay guard didn't shrink the fetch set).
             prev = self._bloom_version()
+            known_counts = (
+                {b: s["scheduled"] for b, s in part_stats.items()}
+                if to_fetch is scheduled
+                else None
+            )
             self.segments.build_delta(
                 scheduled.select("url_sha1", "domain_hash"),
                 self.url_seen.read(self.spark),
                 prev if prev == epoch else None,
                 bloom_version,
+                delta_counts=known_counts,
             )
         _mark("bloom_build")
 

@@ -11,11 +11,18 @@ Reference semantics re-expressed:
     sleeps in the plan; the fetcher honors the offsets.
 
 Skew: a hot domain makes ``Window.partitionBy(domain)`` a single giant
-partition. ``schedule_epoch`` first pre-ranks within (domain, salt) and keeps
-only rows that can possibly be admitted (local rank <= capacity) — global
-rank <= capacity implies per-salt rank <= capacity, so this is lossless —
-then runs the exact window on the survivors, whose per-domain size is bounded
-by n_salts * capacity regardless of input skew.
+partition. Round 2 guarded this with a salted pre-rank window (rank within
+(domain, salt), keep local rank <= capacity — lossless) before the exact
+window: two full shuffles of the pending set. Round 3 fuses them into ONE
+window (r2 VERDICT #1): the filter carries a LITERAL rank bound
+(``rn <= max_capacity``) alongside the per-row ``rn <= capacity``, which
+Catalyst rewrites into a map-side partial ``WindowGroupLimit`` BEFORE the
+exchange — every map task forwards at most max_capacity rows per domain, so
+the reduce-side partition for a hot domain is bounded by
+``max_capacity * n_map_partitions`` regardless of input skew. Same guard the
+salting bought, zero extra shuffle. The salted two-phase plan survives as
+``plan="salted"`` for comparison. (Verified in tests: the physical plan must
+contain a Partial WindowGroupLimit below the Exchange.)
 """
 
 from __future__ import annotations
@@ -64,6 +71,26 @@ def robots_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
     return joined.filter(~blocked).drop("disallow")
 
 
+def max_epoch_capacity(
+    budgets: DataFrame | None, epoch_duration_s: int
+) -> int:
+    """Driver-side max per-domain capacity for one epoch — the literal rank
+    bound that turns the admission window into a WindowGroupLimit plan. The
+    budgets dim is broadcast-small by contract, so the agg is a tiny job;
+    the engine computes this ONCE per run, not per epoch."""
+    default_cap = DEFAULT_MAX_CALLS * (epoch_duration_s // DEFAULT_PERIOD_S)
+    if budgets is None:
+        return default_cap
+    row = budgets.agg(
+        F.max(
+            (F.col("max_calls") * F.floor(F.lit(epoch_duration_s) / F.col("period_s"))).cast(
+                "int"
+            )
+        ).alias("m")
+    ).collect()[0]
+    return max(default_cap, int(row["m"] or 0))
+
+
 def schedule_epoch(
     pending: DataFrame,
     budgets: DataFrame | None = None,
@@ -71,13 +98,22 @@ def schedule_epoch(
     epoch_duration_s: int = 60,
     batch_size: int | None = None,
     n_salts: int = 8,
+    max_capacity: int | None = None,
+    plan: str = "fused",
+    topk_state: dict | None = None,
 ) -> DataFrame:
     """Produce the ordered, admitted fetch batch for one epoch.
 
     Output adds: rn (per-domain rank), fetch_slot, scheduled_offset_s.
     Admission: rn <= max_calls * floor(epoch_duration_s / period_s).
-    Global cap: top-``batch_size`` in canonical order (TakeOrdered — no full
-    sort materialized).
+    Global cap: top-``batch_size`` in canonical order via ``global_topk``.
+
+    ``plan="fused"`` (default): one window, skew-guarded by the map-side
+    partial WindowGroupLimit the literal ``rn <= max_capacity`` conjunct
+    unlocks (module doc). ``plan="salted"``: the round-2 two-phase windows
+    (kept for comparison; same results, one extra shuffle).
+    ``topk_state``: optional mutable dict reused across epochs so the global
+    cap can skip its boundary-sampling job (see ``global_topk``).
     """
     pending = robots_filter(pending, robots)
     pending = with_budget(pending, budgets)
@@ -86,20 +122,32 @@ def schedule_epoch(
     )
     pending = pending.withColumn("capacity", capacity)
 
-    # --- phase 1: salted pre-rank (skew guard, lossless) ---
-    salted = pending.withColumn("_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(n_salts)))
-    w_local = Window.partitionBy("domain", "_salt").orderBy(*canonical_order())
-    survivors = (
-        salted.withColumn("_local_rn", F.row_number().over(w_local))
-        .filter(F.col("_local_rn") <= F.col("capacity"))
-        .drop("_salt", "_local_rn")
-    )
+    if plan == "salted":
+        # --- phase 1: salted pre-rank (skew guard, lossless) ---
+        salted = pending.withColumn(
+            "_salt", F.pmod(F.xxhash64("url_sha1"), F.lit(n_salts))
+        )
+        w_local = Window.partitionBy("domain", "_salt").orderBy(*canonical_order())
+        pending = (
+            salted.withColumn("_local_rn", F.row_number().over(w_local))
+            .filter(F.col("_local_rn") <= F.col("capacity"))
+            .drop("_salt", "_local_rn")
+        )
+        rank_filter = F.col("rn") <= F.col("capacity")
+    else:
+        if max_capacity is None:
+            max_capacity = max_epoch_capacity(budgets, epoch_duration_s)
+        # literal conjunct FIRST: Catalyst's InferWindowGroupLimit extracts
+        # the literal bound and plants a Partial WindowGroupLimit below the
+        # exchange; the per-row capacity conjunct stays exact
+        rank_filter = (F.col("rn") <= F.lit(int(max_capacity))) & (
+            F.col("rn") <= F.col("capacity")
+        )
 
-    # --- phase 2: exact per-domain rank on the bounded survivor set ---
     w = Window.partitionBy("domain").orderBy(*canonical_order())
     admitted = (
-        survivors.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("capacity"))
+        pending.withColumn("rn", F.row_number().over(w))
+        .filter(rank_filter)
         .withColumn("fetch_slot", ((F.col("rn") - 1) / F.col("max_calls")).cast("int"))
         .withColumn(
             "scheduled_offset_s", (F.col("fetch_slot") * F.col("period_s")).cast("double")
@@ -107,7 +155,7 @@ def schedule_epoch(
         .drop("capacity")
     )
     if batch_size is not None:
-        admitted = global_topk(admitted, batch_size)
+        admitted = global_topk(admitted, batch_size, state=topk_state)
     return admitted
 
 
@@ -120,42 +168,58 @@ def _order_key():
     )
 
 
-def global_topk(df: DataFrame, k: int, n_buckets: int = 64, sample_n: int = 4000) -> DataFrame:
+def global_topk(
+    df: DataFrame,
+    k: int,
+    n_buckets: int = 64,
+    sample_n: int = 4000,
+    state: dict | None = None,
+) -> DataFrame:
     """Exact global top-k in canonical order, fully distributed.
 
     ``orderBy().limit(k)`` plans TakeOrderedAndProject: every partition's
     top-k funnels into ONE merge task — fine for tiny k, a serial wall for
     batch caps in the 10^5-10^7 range. Instead:
 
-    1. sample order keys, bake ~n_buckets boundary LITERALS into the plan —
-       the bucket of a row is a pure function of its values, so it is
-       deterministic across jobs (``spark_partition_id`` is NOT: AQE may
-       coalesce the same shuffle differently per query — a correctness trap
-       this function deliberately avoids);
+    1. obtain ~n_buckets boundary LITERALS baked into the plan — the bucket
+       of a row is a pure function of its values, so it is deterministic
+       across jobs (``spark_partition_id`` is NOT: AQE may coalesce the same
+       shuffle differently per query — a correctness trap this function
+       deliberately avoids);
     2. count rows per bucket (tiny driver collect);
     3. keep buckets wholly inside the cap; row_number-filter only the single
        boundary bucket.
+
+    ``state`` (r2 VERDICT #1): a mutable dict owned by the caller. The
+    boundaries only steer bucket BALANCE, never correctness (the counts job
+    decides the cutoff exactly every time), so an epoch can reuse the
+    previous epoch's boundaries and skip the sampling job entirely — one
+    fewer wave over the pending set. When the counts show the reused
+    boundaries have gone stale (one bucket hogging the rows), the entry is
+    dropped and the next epoch resamples.
     """
     key = _order_key()
-    # the upstream scheduling DAG (two windows over the full pending set) is
-    # executed by three jobs here (sample, bucket counts, consumer) — persist
-    # it for the duration so it runs ONCE, and so all three jobs see the
-    # identical row set (determinism no longer rests on the DAG re-evaluating
-    # identically under AQE/retries — r1 ADVICE)
+    # the upstream scheduling DAG (probe + admission window over the full
+    # pending set) is executed by multiple jobs here ([sample,] bucket
+    # counts, consumer) — persist it for the duration so it runs ONCE, and
+    # so all jobs see the identical row set (determinism no longer rests on
+    # the DAG re-evaluating identically under AQE/retries — r1 ADVICE)
     df = df.persist()
-    sample = [
-        (r["k"]["p"], r["k"]["t"], r["k"]["u"])
-        for r in df.select(key.alias("k")).sample(0.05, seed=7).limit(sample_n).collect()
-    ]
-    if len(sample) < 8:
-        # tiny input — the single-merge TakeOrdered plan is optimal there
-        out = df.orderBy(*canonical_order()).limit(k).persist()
-        out.count()
-        df.unpersist()
-        return out
-    sample.sort()
-    step = max(1, len(sample) // n_buckets)
-    boundaries = sample[step::step][: n_buckets - 1]
+    boundaries = state.get("boundaries") if state else None
+    if boundaries is None:
+        sample = [
+            (r["k"]["p"], r["k"]["t"], r["k"]["u"])
+            for r in df.select(key.alias("k")).sample(0.05, seed=7).limit(sample_n).collect()
+        ]
+        if len(sample) < 8:
+            # tiny input — the single-merge TakeOrdered plan is optimal there
+            out = df.orderBy(*canonical_order()).limit(k).persist()
+            out.count()
+            df.unpersist()
+            return out
+        sample.sort()
+        step = max(1, len(sample) // n_buckets)
+        boundaries = sample[step::step][: n_buckets - 1]
 
     def lit_key(b):
         return F.struct(
@@ -172,6 +236,14 @@ def global_topk(df: DataFrame, k: int, n_buckets: int = 64, sample_n: int = 4000
         (r["_bk"], r["n"])
         for r in bucketed.groupBy("_bk").agg(F.count("*").alias("n")).collect()
     )
+    if state is not None:
+        total = sum(counts.values())
+        # reusable while balanced; stale boundaries cost (at worst) one big
+        # boundary-bucket window next epoch — never a wrong answer
+        if counts and total > 8 * n_buckets and max(counts.values()) > total // 4:
+            state.pop("boundaries", None)
+        else:
+            state["boundaries"] = boundaries
     taken = 0
     boundary_bk, quota = None, 0
     for bk in sorted(counts):

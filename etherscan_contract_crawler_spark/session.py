@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # rank-filter -> WindowGroupLimit (map-side partial top-k per window
+        # key) is the schedule phase's skew guard; the default threshold
+        # (1000) is below a long epoch's per-domain capacity (max_calls x
+        # epoch_duration), which would silently drop the partial
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 22))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

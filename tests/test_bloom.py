@@ -271,3 +271,97 @@ def test_unseen_exact_path_matches_anti_join(spark, tmp_path):
     via_join = {tuple(r) for r in anti_join_seen(cands, seen).collect()}
     assert via_store == via_join
     assert len(via_store) == 900
+
+
+def test_delta_build_never_links_and_copies_nothing(spark, tmp_path, monkeypatch):
+    """Object-store compatibility (r2 VERDICT #3): a delta version carries
+    prior segments by MANIFEST REFERENCE — os.link must never run (S3/HDFS
+    have no hardlinks), and the new version dir must contain only the new
+    run files + manifest, not copies of prior bases."""
+    import os as _os
+
+    def _no_link(*a, **kw):
+        raise AssertionError("os.link is forbidden: object stores have no hardlinks")
+
+    monkeypatch.setattr(_os, "link", _no_link)
+    n_buckets = 4
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=400)
+    base = [(k, int(k[:4], 16) % n_buckets) for k in _keys(300)]
+    store.build(spark.createDataFrame(base, "url_sha1 string, domain_hash int"), version=1)
+    extra = [(k, int(k[:4], 16) % n_buckets) for k in _keys(100, salt="d")]
+    delta = spark.createDataFrame(extra, "url_sha1 string, domain_hash int")
+    all_seen = spark.createDataFrame(base + extra, "url_sha1 string, domain_hash int")
+    store.build_delta(delta, all_seen, prev_version=1, version=2)
+
+    v2_files = sorted(_os.listdir(tmp_path / "segs" / "v000002"))
+    assert "meta.json" in v2_files
+    seg_files = [f for f in v2_files if f.startswith("seg")]
+    assert seg_files and all(".r" in f for f in seg_files), (
+        "delta dir must hold only run files (bases stay referenced in v1): "
+        f"{seg_files}"
+    )
+    # exact membership still sees base + delta through the manifest
+    got = {
+        r["url_sha1"]: r["seen"]
+        for r in store.probe(all_seen, 2, exact=True).collect()
+    }
+    assert all(got.values())
+
+
+def test_expire_retains_referenced_dirs(spark, tmp_path):
+    """A version past keep_last loses its manifest but its FILES survive as
+    long as a retained manifest references them (Iceberg expiry semantics);
+    probes through the retained version keep working."""
+    import os as _os
+
+    n_buckets = 2
+    store = SegmentStore(str(tmp_path / "segs"), n_buckets, target_keys_per_segment=1000)
+    base = [(k, int(k[:4], 16) % n_buckets) for k in _keys(200)]
+    store.build(spark.createDataFrame(base, "url_sha1 string, domain_hash int"), version=1)
+    keys_cum = list(base)
+    for v in (2, 3):
+        extra = [(k, int(k[:4], 16) % n_buckets) for k in _keys(50, salt=f"d{v}")]
+        keys_cum += extra
+        store.build_delta(
+            spark.createDataFrame(extra, "url_sha1 string, domain_hash int"),
+            spark.createDataFrame(keys_cum, "url_sha1 string, domain_hash int"),
+            v - 1,
+            v,
+        )
+    assert store.versions() == [1, 2, 3]
+    expired = store.expire(keep_last=1)
+    assert expired == [1, 2]
+    assert store.versions() == [3]
+    # v1 holds the bases v3's manifest references — files must survive
+    assert _os.path.isdir(tmp_path / "segs" / "v000001")
+    assert not _os.path.exists(tmp_path / "segs" / "v000001" / "meta.json")
+    all_df = spark.createDataFrame(keys_cum, "url_sha1 string, domain_hash int")
+    got = {r["url_sha1"]: r["seen"] for r in store.probe(all_df, 3, exact=True).collect()}
+    assert all(got.values())
+
+
+def test_pre_manifest_version_dirs_are_invisible(spark, tmp_path):
+    """r2 ADVICE: a workdir written by the pre-manifest store format (no
+    meta.json / no segments key) must be ignored by versions() — the engine
+    then degrades to the exact anti-join and a full rebuild heals — instead
+    of crashing probe/build_delta with FileNotFoundError."""
+    import json as _json
+    import os as _os
+
+    store = SegmentStore(str(tmp_path / "segs"), 2)
+    # fake an old-format version dir: segment files, meta without 'segments'
+    old = tmp_path / "segs" / "v000001"
+    _os.makedirs(old)
+    with open(old / "meta.json", "w") as f:
+        _json.dump({"n_sub": {"0": 1}, "n_keys": {"0": 10}, "exact": True}, f)
+    (old / "seg00000_0000.npz").write_bytes(b"not-a-real-npz")
+    assert store.versions() == []
+    # and a dir with no meta at all
+    _os.makedirs(tmp_path / "segs" / "v000002")
+    assert store.versions() == []
+    # building fresh on top still works
+    seen = spark.createDataFrame(
+        [(k, int(k[:4], 16) % 2) for k in _keys(50)], "url_sha1 string, domain_hash int"
+    )
+    store.build(seen, version=3)
+    assert store.versions() == [3]

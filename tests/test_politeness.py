@@ -115,3 +115,73 @@ def test_global_topk_matches_order_limit(spark):
             for r in global_topk(df, k).orderBy(*canonical_order()).collect()
         ]
         assert got == expect, k
+
+
+def test_fused_plan_has_mapside_window_group_limit(spark, tiny_seeds_df):
+    """r3 schedule fusion: the single admission window must carry a PARTIAL
+    WindowGroupLimit below its exchange (the map-side skew guard the literal
+    rank conjunct unlocks) — if this regresses, hot domains flood single
+    reduce partitions again."""
+    sched = schedule_epoch(_pending(spark, tiny_seeds_df), epoch_duration_s=10)
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    partial_pos = plan.find("Partial")
+    assert partial_pos != -1, "no Partial-mode WindowGroupLimit in plan"
+
+
+def test_fused_matches_salted_plan(spark, tiny_seeds_df):
+    """The fused single-window plan and the r2 salted two-phase plan are the
+    same operator: identical admitted sets, ranks, and slots."""
+    pending = _pending(spark, tiny_seeds_df)
+    cols = ["url_sha1", "rn", "fetch_slot", "scheduled_offset_s"]
+    fused = {
+        r["url_sha1"]: (r["rn"], r["fetch_slot"], r["scheduled_offset_s"])
+        for r in schedule_epoch(pending, epoch_duration_s=10, plan="fused")
+        .select(cols).collect()
+    }
+    salted = {
+        r["url_sha1"]: (r["rn"], r["fetch_slot"], r["scheduled_offset_s"])
+        for r in schedule_epoch(pending, epoch_duration_s=10, plan="salted")
+        .select(cols).collect()
+    }
+    assert fused == salted
+
+
+def test_topk_state_reuse_is_exact(spark):
+    """Boundary reuse across epochs skips the sampling job but must never
+    change the answer — even when the reused boundaries are badly stale."""
+    import random
+
+    from etherscan_contract_crawler_spark.operators.politeness import global_topk
+
+    random.seed(11)
+
+    def mk(ids, prio_lo, prio_hi):
+        rows = [
+            (f"u{i:05d}", random.uniform(prio_lo, prio_hi), "d", i % 16)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "url_sha1 string, priority double, domain string, domain_hash int"
+        ).withColumn("next_fetch_time", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+    state: dict = {}
+    df1 = mk(range(3000), 0.0, 1.0)
+    got1 = global_topk(df1, 500, state=state)
+    exp1 = df1.orderBy(
+        F.col("priority").desc(), F.col("next_fetch_time"), F.col("url_sha1")
+    ).limit(500)
+    assert {r.url_sha1 for r in got1.collect()} == {r.url_sha1 for r in exp1.collect()}
+    assert "boundaries" in state
+    frozen = list(state["boundaries"])
+
+    # epoch 2: a RADICALLY different priority distribution (all mass above
+    # every stored boundary) — reused boundaries are maximally stale
+    df2 = mk(range(3000, 6000), 5.0, 6.0)
+    got2 = global_topk(df2, 500, state=state)
+    exp2 = df2.orderBy(
+        F.col("priority").desc(), F.col("next_fetch_time"), F.col("url_sha1")
+    ).limit(500)
+    assert {r.url_sha1 for r in got2.collect()} == {r.url_sha1 for r in exp2.collect()}
+    # staleness detected -> boundaries dropped for resampling next epoch
+    assert state.get("boundaries") is None or state["boundaries"] != frozen
