@@ -1278,6 +1278,106 @@ def images_decode_validate(spark, sf_dir):
     )
 
 
+# robots acquisition + filtering end-to-end (operators/robots.py parse +
+# operators/politeness.py:58 robots_filter). The injected session publishes
+# rules for domains chosen by md5(domain) so DuckDB can rebuild the dim
+# independently; the Spark side parses REAL robots.txt bodies (comments,
+# other-agent groups, explicit allow-all) through acquire_robots.
+# (r2 VERDICT #4 — the reference crawls with no robots handling,
+# contract_crawler.py:32-36; the north_star demands the cache.)
+def _oracle_robots_session():
+    import hashlib
+
+    def fetch(domain: str) -> str | None:
+        c = hashlib.md5(domain.encode()).hexdigest()[0]
+        if c in "0123":
+            rules = "\n".join(f"Disallow: /address/0x{x:x}" for x in range(8))
+            return (
+                "# oracle robots\n"
+                "User-agent: other-bot\nDisallow: /\n\n"
+                f"User-agent: *\n{rules}\nDisallow:\n"
+            )
+        if c in "4567":
+            return "User-agent: *\nDisallow:\n"  # explicit allow-all
+        return None
+
+    return fetch
+
+
+@_q(
+    "robots_filter",
+    """
+    WITH f AS (
+      SELECT DISTINCT
+        'site' || lpad(CAST(o_custkey % 20 AS VARCHAR), 5, '0')
+               || '.example.com' AS domain,
+        '/address/0x' || substr(sha256(CAST(o_orderkey % 3000 AS VARCHAR)), 1, 40) AS path
+      FROM orders)
+    SELECT domain, 'https://' || domain || path AS url_canon
+    FROM f
+    WHERE NOT (substr(md5(domain), 1, 1) IN ('0','1','2','3')
+               AND substr(path, 12, 1) < '8')
+    """,
+)
+def robots_filter_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import robots_filter
+    from etherscan_contract_crawler_spark.operators.robots import acquire_robots
+
+    o = _t(spark, sf_dir, "orders")
+    domain = F.concat(
+        F.lit("site"),
+        F.lpad((F.col("o_custkey") % 20).cast("string"), 5, "0"),
+        F.lit(".example.com"),
+    )
+    path = F.concat(
+        F.lit("/address/0x"),
+        F.substring(F.sha2((F.col("o_orderkey") % 3000).cast("string"), 256), 1, 40),
+    )
+    frontier = o.select(
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url_canon"),
+    ).distinct()
+    robots = acquire_robots(frontier, _oracle_robots_session)
+    return robots_filter(frontier, robots).select("domain", "url_canon")
+
+
+# stateful per-domain admission, replayed in batch through the SAME
+# _admit_group hook the streaming operator runs (streaming/ratelimit.py) —
+# the oracle is the token bucket's closed form: per-(domain, window)
+# row_number capped at max_calls. (r2 VERDICT #4; reference analog: the
+# intended dead @limits(calls=5, period=1), contract_crawler.py:372-375.)
+@_q(
+    "admission_window",
+    """
+    SELECT domain, url_sha1, batch_ts,
+           rn <= 5 AS admitted,
+           CAST(least(rn, 5) AS INT) AS used_in_window
+    FROM (
+      SELECT 'd' || CAST(user_id % 20 AS VARCHAR) AS domain,
+             substr(sha256(CAST(event_id AS VARCHAR)), 1, 40) AS url_sha1,
+             CAST(floor(epoch(ts)) AS BIGINT) AS batch_ts,
+             row_number() OVER (
+               PARTITION BY user_id % 20, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                        substr(sha256(CAST(event_id AS VARCHAR)), 1, 40)
+             ) AS rn
+      FROM events)
+    """,
+)
+def admission_window(spark, sf_dir):
+    from etherscan_contract_crawler_spark.streaming.ratelimit import admission_replay
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 20).cast("string")).alias("domain"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias(
+            "url_sha1"
+        ),
+        F.unix_timestamp("ts").alias("batch_ts"),
+    )
+    return admission_replay(src, max_calls=5, period_s=86400)
+
+
 # ---------------------------------------------------------------- contract
 
 
