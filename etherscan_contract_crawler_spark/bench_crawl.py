@@ -101,6 +101,10 @@ def main() -> None:
     ap.add_argument("--fetcher", choices=["null", "synthetic", "simio"], default="null")
     ap.add_argument("--warmup-batch", type=int, default=0)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--timings", action="store_true",
+        help="print per-epoch phase walls to stderr (schedule/fetch/commits/bloom)",
+    )
     args = ap.parse_args()
 
     from .engine.crawl import CrawlEngine, EngineConfig
@@ -132,6 +136,7 @@ def main() -> None:
             epoch_duration_s=args.epoch_duration,
             batch_size=args.batch_size,
             use_bloom=not args.no_bloom,
+            extra={"timings": True} if args.timings else {},
         ),
         fetch_session_factory=fetcher,
     )
@@ -155,6 +160,10 @@ def main() -> None:
     for e in range(first_epoch, first_epoch + args.epochs):
         s = eng.run_epoch(e)
         total += s.get("scheduled", 0)
+        if args.timings and s.get("timings"):
+            import sys
+
+            print(f"epoch {e} timings: {s['timings']}", file=sys.stderr)
         if s.get("done"):
             break
     wall = time.time() - t0
