@@ -1378,6 +1378,100 @@ def admission_window(spark, sf_dir):
     return admission_replay(src, max_calls=5, period_s=86400)
 
 
+# frontier priority from link authority: fixed-3-iteration PageRank over a
+# deterministic outlink graph (analytics/graph.py). The oracle chains the
+# same three power-method steps as CTEs — an independent closed-form
+# re-derivation, not a re-run of the operator. Reference analog: the
+# hardcoded page order this replaces, contract_crawler.py:316-325.
+_PR_EDGES_SQL = """
+      SELECT DISTINCT CAST(l_orderkey % 3000 AS BIGINT) AS src,
+                      CAST(l_partkey % 3000 AS BIGINT) AS dst
+      FROM lineitem
+      WHERE l_orderkey % 3000 <> l_partkey % 3000
+"""
+_PR_STEP_SQL = """
+    r{k} AS (
+      SELECT nodes.id, 0.15/p.n + 0.85*COALESCE(c.contrib, 0.0) AS pr
+      FROM nodes CROSS JOIN p
+      LEFT JOIN (SELECT w.dst AS id, SUM(r{j}.pr * w.w) AS contrib
+                 FROM w JOIN r{j} ON w.src = r{j}.id GROUP BY w.dst) c
+        ON nodes.id = c.id
+    )"""
+
+
+@_q(
+    "pagerank_priority",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    w AS (SELECT e.src, e.dst, 1.0/d.outdeg AS w FROM edges e JOIN deg d ON e.src = d.src),
+    p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0/p.n AS pr FROM nodes CROSS JOIN p),
+    {_PR_STEP_SQL.format(k=1, j=0)},
+    {_PR_STEP_SQL.format(k=2, j=1)},
+    {_PR_STEP_SQL.format(k=3, j=2)}
+    SELECT id, pr FROM r3
+    """,
+)
+def pagerank_priority(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return pagerank(edges, iters=3)
+
+
+# as-of join: attribute each click to the latest view at-or-before it, per
+# user — one shuffle (operators/asof.py). The oracle is DuckDB's NATIVE
+# ASOF LEFT JOIN, a fully independent implementation of the semantics. The
+# right side is pre-aggregated to one row per (user_id, ts) because ASOF
+# tie-breaking among equal timestamps is otherwise implementation-defined.
+@_q(
+    "asof_join_clicks",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, c.event_id,
+           c.value, v.view_value, CAST(floor(epoch(v.ts)) AS BIGINT) AS asof_ts_s
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_clicks(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(clicks, views, on="user_id", ts="ts", right_cols=["view_value"])
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "value",
+        "view_value",
+        F.unix_timestamp("asof_ts").alias("asof_ts_s"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 

@@ -1,0 +1,92 @@
+"""Link-graph PageRank for frontier prioritization.
+
+A production crawler ranks its frontier by link authority, not just seed
+priority — the reference hardcodes page order (contract_crawler.py:316-325)
+because its universe is one listing site; at web scale the priority column
+this engine's scheduler orders by (operators/politeness.py, canonical order
+``priority DESC``) needs a principled source. This module computes it:
+fixed-iteration power-method PageRank over an outlink edge list, expressed
+entirely in DataFrame ops so every iteration is two shuffles that Catalyst
+can plan (join on src, aggregate on dst) — no RDDs, no driver-side graph.
+
+Semantics (pinned by the SQL oracle in __spark_entry__.py):
+  * simplified PageRank: ``pr = (1-d)/N + d * sum_in(pr_src / outdeg_src)``;
+    dangling-node mass is dropped, not redistributed (the common
+    fixed-iteration simplification — deterministic and closed-form, so an
+    independent DuckDB oracle can chain the same K iterations as CTEs).
+  * fixed ``iters`` (default 3), damping 0.85, uniform init 1/N over the
+    node set = distinct(src) ∪ distinct(dst).
+
+Scale notes (the 10^10-edge question):
+  * the edge list is joined with ``outdeg`` ONCE up front to bake the
+    per-edge weight ``1/outdeg`` — after that no per-iteration join against
+    the degree table.
+  * weighted edges are repartitioned by ``src`` and persisted; each
+    iteration shuffles only the rank vector (nodes-sized, ≪ edges) to meet
+    them, then aggregates on ``dst`` with map-side partial sums. Edges — the
+    100-TB side — are shuffled exactly once for the whole run.
+  * ``localCheckpoint`` per iteration keeps the lineage O(1) (same trick as
+    analytics/dedup.py's label propagation); K is small and fixed, so no
+    convergence loop, no driver round-trips besides the K job submissions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over ``edges(src, dst)`` (distinct edges).
+
+    Returns ``(id, pr)`` for every node appearing as src or dst.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    # bake the edge weight once: the only join that ever touches the full
+    # edge list; persisted partitioned by src so iteration joins co-locate
+    weighted = (
+        edges.join(outdeg, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    weighted.count()  # materialize before the loop
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            weighted.join(ranks, on=weighted["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, on=nodes["id"] == contrib["dst"], how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    weighted.unpersist()
+    nodes.unpersist()
+    return ranks
