@@ -1472,6 +1472,43 @@ def asof_join_clicks(spark, sf_dir):
     )
 
 
+# bounded-window range join: every (click, view) pair by the same user
+# within 6 h, via bucket replication (operators/rangejoin.py) — the time
+# bound rides in the equi-join key, so no range-explosion plan. Oracle is
+# DuckDB's plain inequality join (fine at oracle scale; the point of the
+# operator is the 100-TB plan shape).
+@_q(
+    "range_join_events",
+    """
+    WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts,
+                      event_id AS c_id
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS v_ts,
+                 event_id AS v_id
+          FROM events WHERE event_type = 'view')
+    SELECT c.user_id, c.c_id, c.c_ts, v.v_id, v.v_ts
+    FROM c JOIN v ON c.user_id = v.user_id AND abs(c.c_ts - v.v_ts) <= 21600
+    """,
+)
+def range_join_events(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    return range_join(
+        clicks, views, on="user_id", left_ts="c_ts", right_ts="v_ts", window_s=21600
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 

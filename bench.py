@@ -42,6 +42,8 @@ HEADLINE = [
     "registrable_domain_psl",
     "corpus_retention",
     "dedup_components",
+    "pagerank_priority",
+    "asof_join_clicks",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
@@ -169,7 +171,7 @@ def quick_canary(total: int = 2_400, procs: int = 4, repeats: int = 2) -> float:
     return total / min(walls)
 
 
-def run_scaling() -> dict:
+def run_scaling(ceiling: dict | None = None) -> dict:
     if not os.path.exists(BENCH_SEEDS):
         from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
 
@@ -233,13 +235,27 @@ def run_scaling() -> dict:
     # pass out of noise (retrying a degraded 1-core level RAISES thr1 and
     # lowers the efficiency — the honest direction — and is covered by the
     # degraded branch).
+    # an efficiency ABOVE the box's own measured 1->4 process-scaling
+    # ceiling is not good news — it means the 1-core level ran in a slower
+    # window than the 4-core level and the ratio is inflated. Retrying
+    # local1 can only RAISE the denominator and LOWER the efficiency, so
+    # this retry direction is always honest (the mirror-image of the
+    # gate-miss retry below, which may only raise thr4).
+    eff_cap = (
+        ceiling["ceiling_1_to_4"] + 0.03
+        if ceiling and "ceiling_1_to_4" in ceiling
+        else 1.0
+    )
+
     extras = gate_retries = 0
     while extras < MAX_EXTRA_ATTEMPTS:
         degraded = [
             c for c in SCALING_LEVELS if window_ratio(kept(c)) < CLEAN_WINDOW
         ]
         e14 = eff(1, 4)
-        if degraded:
+        if e14 is not None and e14 > eff_cap:
+            target = 1  # implausibly high: the denominator ran degraded
+        elif degraded:
             target = min(degraded, key=lambda c: window_ratio(kept(c)))
         elif e14 is not None and e14 < GATE_THRESHOLD and gate_retries < 1:
             target, gate_retries = 4, gate_retries + 1
@@ -277,6 +293,11 @@ def run_scaling() -> dict:
         "rule": f"scaling_efficiency_n_to_4n >= {GATE_THRESHOLD} (north_rule)",
         "value": e14,
         "verdict": "PASS" if (e14 is not None and e14 >= GATE_THRESHOLD) else "FAIL",
+        # an efficiency above the box's own 1->4 ceiling means the 1-core
+        # level ran in a slower window (inflated ratio); the retry loop
+        # spends attempts pushing it back under before anything else
+        "plausibility_cap_from_ceiling": round(eff_cap, 3),
+        "within_plausibility_cap": e14 is not None and e14 <= eff_cap,
     }
     # single_box_mp_ceiling is measured by main() BEFORE any Spark JVM runs
     # in this process tree (r1 ADVICE: measured in-run, not pasted; and the
@@ -290,7 +311,7 @@ def main():
     # tree — timing runs must be the only load on the box (BASELINE.md)
     ceiling = None if SKIP_SCALING else measure_mp_ceiling()
     queries = run_queries()
-    crawl = {} if SKIP_SCALING else run_scaling()
+    crawl = {} if SKIP_SCALING else run_scaling(ceiling)
     if ceiling is not None:
         crawl["single_box_mp_ceiling"] = ceiling
     total = round(time.time() - t0, 2)

@@ -92,6 +92,53 @@ def test_asof_tolerance(spark):  # noqa: F811
     assert got["y"] == (None, None)  # 5s back > 3s tolerance
 
 
+def test_range_join_matches_bruteforce(spark):  # noqa: F811
+    import random
+
+    from etherscan_contract_crawler_spark.operators.rangejoin import range_join
+
+    rng = random.Random(7)
+    lrows = [(rng.randrange(5), rng.randrange(1000), i) for i in range(200)]
+    rrows = [(rng.randrange(5), rng.randrange(1000), 1000 + i) for i in range(200)]
+    left = spark.createDataFrame(lrows, "k long, lts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, rts long, rid long")
+    w = 37
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", window_s=w
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lk, lts, lid) in lrows
+        for (rk, rts, rid) in rrows
+        if lk == rk and abs(lts - rts) <= w
+    }
+    assert got == want
+
+
+def test_range_join_replicate_left_and_boundary(spark):  # noqa: F811
+    from etherscan_contract_crawler_spark.operators.rangejoin import range_join
+
+    # pairs exactly at the bound, just inside, just outside, bucket edges
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 199, 2), (1, 0, 3)], "k long, lts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 150, 10), (1, 250, 11), (1, 49, 12), (1, 151, 13)],
+        "k long, rts long, rid long",
+    )
+    out = range_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", window_s=50,
+        replicate="left",
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    # 100<->150 = 50 (inclusive bound); 199<->150 = 49; 199<->151 = 48;
+    # 0<->49 = 49; 100<->49 and 199<->250 are 51 — outside
+    assert got == {(1, 10), (2, 10), (2, 13), (3, 12)}
+
+
 def test_asof_single_shuffle_plan(spark):  # noqa: F811
     """The whole as-of is one Exchange + one Window — no join node at all."""
     left = spark.createDataFrame([(1, _ts(1), "a")], "k long, ts timestamp, tag string")
