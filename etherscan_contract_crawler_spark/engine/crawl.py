@@ -279,6 +279,7 @@ class CrawlEngine:
         # is empty (full replay — every payload already landed) and makes the
         # partition column (valid) part of the contract
         raw = self.spark.read.schema(FETCH_RESULT_DDL).parquet(raw_dir)
+        _mark("fetch_land")
 
         # stats come from the landed files — column-pruned scan, no refetch.
         # The schedule's cardinality is derived here too: the write job above
@@ -291,7 +292,7 @@ class CrawlEngine:
         # the raw row count on replay (keys whose payloads already landed are
         # skipped by the fetch but still need the mark-at-attempt merge).
         n_scheduled = scheduled.count()
-        _mark("fetch_and_stats")
+        _mark("fetch_stats")
         if n_scheduled == 0:
             # nothing staged — drop the (empty) raw landing dir so drained
             # epochs leave no disk residue (r1 ADVICE: unbounded raw growth)
