@@ -1509,6 +1509,53 @@ def range_join_events(spark, sf_dir):
     )
 
 
+# deterministic stratified sampling: per-source keep-rates as a pure
+# row-hash rule (analytics/sampling.py) — reproducible under any partition
+# layout, no shuffle; the oracle re-derives the rule from the md5 spec.
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE source WHEN 'src0' THEN '1999' WHEN 'src1' THEN '4000'
+                  WHEN 'src2' THEN '8000' ELSE 'c000' END
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        key_col="doc_id",
+        stratum_col="source",
+        rates={"src0": 0.1, "src1": 0.25, "src2": 0.5},
+        default_rate=0.75,
+    )
+    return out.select("doc_id", "source")
+
+
+# per-language top-k tokens (vocabulary audit): explode -> hash agg -> one
+# window with a literal rank bound (map-side partial WindowGroupLimit).
+@_q(
+    "top_tokens_lang",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_SQL_WORDS}) AS token FROM documents),
+    c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY lang, token)
+    SELECT lang, token, n, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, token) AS rk FROM c)
+    WHERE rk <= 5
+    """,
+)
+def top_tokens_lang(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import top_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return top_tokens(d, k=5, group_col="lang", text_col="text")
+
+
 # ---------------------------------------------------------------- contract
 
 

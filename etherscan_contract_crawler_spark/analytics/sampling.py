@@ -1,0 +1,77 @@
+"""Deterministic stratified sampling + per-group top-k tokens.
+
+Training-data pipelines sample per source/language quota ("keep 10% of
+common-crawl, 100% of wikipedia") and audit vocabularies per stratum. Both
+must be DETERMINISTIC at 100 TB — a re-run, a replay after a crash, or a
+different executor count must select the identical rows, which rules out
+``df.sample`` (seeded per-partition, so partition layout changes the
+selection). The selector here is a pure function of the ROW: keep a row iff
+the first 4 hex chars of md5(key) fall below the stratum's threshold — an
+independently re-derivable rule (the DuckDB oracle re-implements it from
+the same spec), embarrassingly parallel, no shuffle at all.
+
+Granularity: thresholds quantize rates to 1/65536 — sampling error ≤0.01%
+of the stratum, documented rather than hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The md5-prefix threshold encoding a keep-rate (shared with oracles)."""
+    q = max(0, min(65536, int(rate * 65536)))
+    return format(q, "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    A row survives iff ``substring(md5(key), 1, 4) < threshold(stratum)``
+    — stable under repartitioning, resumable, and exactly reproducible by
+    any engine that can compute md5. Pure projection+filter: no shuffle,
+    full codegen, scales linearly.
+    """
+    sel = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(sel < thr)
+
+
+def top_tokens(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most frequent whitespace tokens per group (vocabulary
+    audit), deterministic ties (count desc, token asc).
+
+    Plan: explode → partial+final hash agg on (group, token) → ONE window
+    whose literal ``rk <= k`` filter Catalyst turns into a map-side partial
+    WindowGroupLimit (same trick as the politeness admission window) — the
+    post-agg exchange carries at most k·n_map_partitions rows per group,
+    so a skewed vocabulary (stopword-heavy language) cannot flood the
+    window task. The explode factor is corpus token count — inherent to
+    the statistic; the aggregation is where the volume collapses.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    tok = docs.select(F.col(group_col).alias("grp"), F.explode(F.split(norm, " ")).alias("token"))
+    counts = tok.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(k)))
+        .withColumnRenamed("grp", group_col)
+    )
