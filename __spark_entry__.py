@@ -1556,6 +1556,45 @@ def top_tokens_lang(spark, sf_dir):
     return top_tokens(d, k=5, group_col="lang", text_col="text")
 
 
+# image near-dup via banded phash Hamming join (analytics/phash.py): the
+# pigeonhole banding makes the equi-join EXACT for hamming <= n_bands-1, so
+# the brute-force O(n^2) DuckDB self-join is a true oracle, not a recall
+# floor. The phash here is synthesized deterministically (60-bit md5 hash of
+# the normalized text standing in for the image's perceptual hash, one bit
+# flipped per doc_id) so planted duplicate documents become near-dup pairs
+# at hamming <= 2 — same derivation on both sides. (sf* documents carry no
+# exact-dup texts, so the cluster base hashes a coarse (source, doc_id%50)
+# key: ~2-3 docs per cluster land within Hamming 2, everything else is
+# ~30 bits apart — a non-vacuous pair set at every sf.)
+@_q(
+    "phash_neardup",
+    r"""
+    WITH ph AS (
+      SELECT doc_id,
+             xor(CAST(('0x' || substr(md5(source || '|' || CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                 (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))) AS phash
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def phash_neardup(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import _hash60
+    from etherscan_contract_crawler_spark.analytics.phash import phash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cluster_key = F.concat_ws("|", F.col("source"), (F.col("doc_id") % 50).cast("string"))
+    ph = d.select(
+        "doc_id",
+        _hash60(cluster_key)
+        .bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
+        .alias("phash"),
+    )
+    return phash_neardup_pairs(ph, phash_col="phash", key_col="doc_id", max_hamming=3)
+
+
 # ---------------------------------------------------------------- contract
 
 

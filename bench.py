@@ -44,6 +44,11 @@ HEADLINE = [
     "dedup_components",
     "pagerank_priority",
     "asof_join_clicks",
+    "range_join_events",
+    "stratified_sample",
+    "top_tokens_lang",
+    "robots_filter",
+    "phash_neardup",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
