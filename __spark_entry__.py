@@ -1595,6 +1595,28 @@ def phash_neardup(spark, sf_dir):
     return phash_neardup_pairs(ph, phash_col="phash", key_col="doc_id", max_hamming=3)
 
 
+# corpus distribution stats: per-language length quantiles (the numbers a
+# curator sets retention thresholds from). Exact interpolated percentile =
+# ONE hash aggregate; the approx_percentile sketch variant (same signature,
+# analytics/stats.py) is the unbounded-cardinality path at 100 TB.
+@_q(
+    "corpus_length_quantiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_length_quantiles(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.stats import grouped_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_quantiles(d, value_col="n_chars", group_col="lang")
+
+
 # ---------------------------------------------------------------- contract
 
 
