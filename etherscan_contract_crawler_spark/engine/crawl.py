@@ -287,11 +287,16 @@ class CrawlEngine:
         stat_rows = (
             raw.groupBy("domain_hash", "status").agg(F.count("*").alias("n")).collect()
         )
-        # the write job materialized the cache, so this count is a cheap
-        # cached scan, not a second pass over the schedule DAG. It can exceed
-        # the raw row count on replay (keys whose payloads already landed are
-        # skipped by the fetch but still need the mark-at-attempt merge).
-        n_scheduled = scheduled.count()
+        if to_fetch is scheduled:
+            # normal path: every scheduled row landed exactly once (ok or
+            # failed), so the landed stats already carry the schedule's
+            # cardinality — no separate count() job wave
+            n_scheduled = sum(int(r["n"]) for r in stat_rows)
+        else:
+            # replay: landed rows ⊂ scheduled (keys whose payloads already
+            # committed are skipped by the fetch but still need the
+            # mark-at-attempt append) — count the cached schedule
+            n_scheduled = scheduled.count()
         _mark("fetch_stats")
         if n_scheduled == 0:
             # nothing staged — drop the (empty) raw landing dir so drained
@@ -315,16 +320,6 @@ class CrawlEngine:
         )
         _mark("images_commit")
 
-        failed = raw.filter(F.col("status") == "failed").select(
-            "url_sha1", "url", "domain", "domain_hash", "attempts",
-            F.lit(epoch).alias("failed_epoch"),
-        )
-        _, n_failed_new = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
-        # the dead-letter rows are committed now — drop the valid=false
-        # partition (full uncompressed payload bytes of failed fetches) so
-        # the landing dir keeps only the committed valid=true data (r1 ADVICE)
-        shutil.rmtree(os.path.join(raw_dir, "valid=false"), ignore_errors=True)
-        _mark("dead_letter_merge")
         prev_lineage = self.url_seen.lineage()
         prev_offsets = prev_lineage.get("frontier_offsets", {})
         offsets = {
@@ -346,32 +341,76 @@ class CrawlEngine:
                 "failed": n_failed,
             },
         }
-        # mark-at-attempt over the WHOLE scheduled batch (K5) — including
-        # keys skipped by the replay guard, whose payloads already landed.
-        # APPEND, not MERGE: scheduled ⊆ unseen by construction (pending()'s
-        # exact dedup) and the epoch commits at most once (lineage gates the
-        # replay), so the merge's existing-side anti-join — an O(total seen)
-        # scan every epoch — would verify a tautology. The exact segment
-        # store is what makes this safe to assert, and the parity/resume
-        # suites pin it.
-        self.url_seen.append(
-            scheduled.select("url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")),
-            lineage=lineage,
-        )
-        _mark("url_seen_merge")
+        # ---- concurrent commit wave (r2 VERDICT: the job-wave floor) ----
+        # The three remaining epoch writes touch three independent tables and
+        # the already-cached schedule, so their JOBS run concurrently on one
+        # thread pool instead of as sequential driver-latency waves:
+        #   - dead-letter merge (anti-join + write on its own table),
+        #   - url_seen data write (STAGED — manifest commit deferred),
+        #   - bloom delta build (delta path reads only the cached schedule).
+        # Crash ordering is preserved where it matters: url_seen's manifest
+        # commit — the epoch-completion marker — happens-after the
+        # dead-letter commit, so a crash between them replays the epoch
+        # (merge_not_matched is idempotent) instead of marking the batch
+        # seen while its dead letters were never recorded. A bloom version
+        # that lands without its url_seen commit is already handled by
+        # pending()'s version-validity check (degrades to the exact join)
+        # and build_delta's full-rebuild fallback on the replay.
+        from concurrent.futures import ThreadPoolExecutor
 
-        if cfg.use_bloom:
+        failed = raw.filter(F.col("status") == "failed").select(
+            "url_sha1", "url", "domain", "domain_hash", "attempts",
+            F.lit(epoch).alias("failed_epoch"),
+        )
+
+        def _dead_letter_task():
+            _, n = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
+            # the dead-letter rows are committed now — drop the valid=false
+            # partition (full uncompressed payload bytes of failed fetches)
+            # so the landing dir keeps only the committed valid=true data
+            shutil.rmtree(os.path.join(raw_dir, "valid=false"), ignore_errors=True)
+            return n
+
+        def _seen_write_task():
+            # mark-at-attempt over the WHOLE scheduled batch (K5) — including
+            # keys skipped by the replay guard, whose payloads already
+            # landed. APPEND, not MERGE: scheduled ⊆ unseen by construction
+            # (pending()'s exact dedup) and the epoch commits at most once
+            # (lineage gates the replay), so the merge's existing-side
+            # anti-join — an O(total seen) scan every epoch — would verify a
+            # tautology. The exact segment store is what makes this safe to
+            # assert, and the parity/resume suites pin it.
+            return self.url_seen.stage_append(
+                scheduled.select(
+                    "url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")
+                )
+            )
+
+        # The store's fold/full-rebuild paths need the seen set INCLUDING
+        # this epoch. Post-append url_seen == pre-append url_seen ∪ scheduled
+        # exactly (mark-at-attempt appends precisely the scheduled keys, and
+        # scheduled ⊆ unseen makes the union disjoint), so building that
+        # union from the PRE-append manifest lets the bloom build run
+        # concurrently with the url_seen append instead of after it. The
+        # dir list is resolved here, on this thread, so the concurrent
+        # commit can't race the manifest read.
+        seen_union = (
+            self.url_seen.read(self.spark)
+            .select("url_sha1", "domain_hash")
+            .unionByName(scheduled.select("url_sha1", "domain_hash"))
+            if cfg.use_bloom
+            else None
+        )
+        prev = self._bloom_version()
+
+        def _bloom_task():
             # O(epoch delta), not O(total seen): the LSM store's new version
-            # holds ONLY this epoch's run files (one small bloom + sorted
-            # keys per touched segment); everything untouched is carried by
-            # reference in the run manifest; a bucket folds its runs into a
-            # fresh base only at MAX_RUNS / 2x-target (compaction). Delta is
-            # valid only from the immediately-previous version; anything
-            # else (crash gap) falls back to a full rebuild from url_seen.
-            # Per-bucket delta counts are already known from the landed-file
-            # stats — pass them so the store skips its counting job (valid
-            # only when the replay guard didn't shrink the fetch set).
-            prev = self._bloom_version()
+            # holds ONLY this epoch's run files; everything untouched is
+            # carried by reference in the run manifest. Delta is valid only
+            # from the immediately-previous version; a crash gap falls back
+            # to a full rebuild from seen_union. Per-bucket delta counts are
+            # already known from the landed-file stats (valid only when the
+            # replay guard didn't shrink the fetch set).
             known_counts = (
                 {b: s["scheduled"] for b, s in part_stats.items()}
                 if to_fetch is scheduled
@@ -379,11 +418,24 @@ class CrawlEngine:
             )
             self.segments.build_delta(
                 scheduled.select("url_sha1", "domain_hash"),
-                self.url_seen.read(self.spark),
+                seen_union,
                 prev if prev == epoch else None,
                 bloom_version,
                 delta_counts=known_counts,
             )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_dead = pool.submit(_dead_letter_task)
+            f_seen = pool.submit(_seen_write_task)
+            f_bloom = pool.submit(_bloom_task) if cfg.use_bloom else None
+            n_failed_new = f_dead.result()  # noqa: F841 — ordering barrier
+            seen_sid, seen_dir, _ = f_seen.result()
+            _mark("dead_letter_merge")
+            # epoch-completion marker: ordered after the dead-letter commit
+            self.url_seen.commit_append(seen_sid, seen_dir, lineage=lineage)
+            _mark("url_seen_merge")
+            if f_bloom is not None:
+                f_bloom.result()
         _mark("bloom_build")
 
         if cfg.expand_links:

@@ -50,6 +50,10 @@ def get_spark(
         # (1000) is below a long epoch's per-domain capacity (max_calls x
         # epoch_duration), which would silently drop the partial
         .config("spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 22))
+        # the epoch's commit wave submits independent table jobs from a
+        # thread pool (engine/crawl.py); FAIR keeps one wide job from
+        # head-of-line-blocking the small concurrent writes
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

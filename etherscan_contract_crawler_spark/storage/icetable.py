@@ -128,15 +128,37 @@ class SnapshotTable:
                 de[d] = ep
         return de
 
-    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
+    def stage_append(self, df: DataFrame) -> tuple[int, str, int]:
+        """Write an append's data dir WITHOUT committing the manifest.
+
+        Lets the engine overlap this table's data write with other tables'
+        jobs while still ordering the (cheap, driver-side) manifest commits
+        for crash consistency — e.g. url_seen's commit must happen-after the
+        dead-letter merge so a crash between them replays the epoch instead
+        of silently dropping its dead letters. An uncommitted staged dir is
+        invisible to readers and reclaimed by ``gc_orphans`` on restart.
+        Returns (snapshot_id, data_dir, rows).
+        """
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
-        d, _ = self._write_data(df, sid)
+        d, n = self._write_data(df, sid)
+        return sid, d, n
+
+    def commit_append(self, sid: int, d: str, lineage: dict | None = None) -> int:
+        prev = self.manifest()
+        if sid != prev["snapshot_id"] + 1:  # concurrent commit on this table
+            raise RuntimeError(
+                f"stale staged append: sid {sid} vs current {prev['snapshot_id']}"
+            )
         merged_lineage = {**prev.get("lineage", {}), **(lineage or {})}
         return self._commit(
             sid, prev["snapshot_id"], prev["data_dirs"] + [d], prev["schema_ddl"],
             merged_lineage, "append", self._stamp_dir_epochs(prev, [d], lineage),
         )
+
+    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
+        sid, d, _ = self.stage_append(df)
+        return self.commit_append(sid, d, lineage)
 
     def merge_not_matched(
         self, df: DataFrame, keys: list[str], lineage: dict | None = None
