@@ -1617,6 +1617,124 @@ def corpus_length_quantiles(spark, sf_dir):
     return grouped_quantiles(d, value_col="n_chars", group_col="lang")
 
 
+# canonical-doc selection: within each exact-duplicate group keep the BEST
+# copy (longest, then lowest doc_id) — the retention rule real pipelines
+# apply after dedup (keep the least-truncated mirror). One shuffle on the
+# checksum; WindowGroupLimit bounds any pathological dup group map-side.
+@_q(
+    "dedup_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars - 7 FROM documents
+      WHERE doc_id % 50 = 0),
+    d AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM u),
+    r AS (
+      SELECT fp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY fp) AS n_members
+      FROM d)
+    SELECT fp, CAST(n_members AS BIGINT) AS n_members, doc_id AS keep_id,
+           n_chars AS keep_chars
+    FROM r WHERE rn = 1 AND n_members > 1
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # deterministic injected mirror copies (same text, shorter recorded
+    # n_chars — a truncated-metadata mirror) so the keep-best rule has
+    # signal at every SF; the oracle injects identically
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        (F.col("n_chars") - 7).alias("n_chars"),
+    )
+    d = docs.unionByName(dup).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("fp")))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "fp",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+        )
+    )
+
+
+# benchmark decontamination — exact 5-gram overlap of the training corpus
+# against a tiny eval set (doc_id % 97 == 0 as the deterministic benchmark
+# membership rule). The eval shingle set rides a BROADCAST; the corpus
+# shingles never shuffle on shingle (analytics/decontam.py).
+_SQL_SHINGLES5 = f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+    FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents))
+"""
+
+
+@_q(
+    "decontam_ngram_overlap",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES5}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, count(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(h.n_shared, 0) AS n_shared,
+           coalesce(h.n_shared, 0) >= 1 AS contaminated
+    FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d, n=5, eval_mod=97, min_shared=1)
+
+
+# per-label embedding centroids — the clustering/curriculum primitive
+# (class prototypes, IVF coarse-quantizer seeding). Pure JVM: posexplode +
+# one (label, pos) hash aggregate with map-side partials; flat (label, pos,
+# c) rows, no array re-collection, so the compare is order-free.
+@_q(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(val), 4) AS c
+    FROM (SELECT label,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("c"))
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 

@@ -49,6 +49,8 @@ HEADLINE = [
     "top_tokens_lang",
     "robots_filter",
     "phash_neardup",
+    "decontam_ngram_overlap",
+    "embedding_centroids",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

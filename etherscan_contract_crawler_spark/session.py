@@ -52,8 +52,10 @@ def get_spark(
         .config("spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 22))
         # the epoch's commit wave submits independent table jobs from a
         # thread pool (engine/crawl.py); FAIR keeps one wide job from
-        # head-of-line-blocking the small concurrent writes
-        .config("spark.scheduler.mode", "FAIR")
+        # head-of-line-blocking the small concurrent writes. At local[1]
+        # there is nothing to share — round-robining the single task slot
+        # between jobs only thrashes locality — so keep FIFO there.
+        .config("spark.scheduler.mode", "FAIR" if cpus > 1 else "FIFO")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -232,3 +232,65 @@ def test_neardup_components_long_chain_converges_fast(spark):
     got = {r.doc_id: r.component for r in neardup_components(vertices, edges).collect()}
     assert len(got) == n
     assert set(got.values()) == {"d0000"}, "single chain must collapse to one component"
+
+
+def test_decontam_flags_planted_overlap(spark):
+    """A train doc sharing a 5-gram with an eval doc (doc_id % 97 == 0) is
+    flagged; disjoint docs audit to n_shared == 0; eval docs are excluded
+    from the output."""
+    from etherscan_contract_crawler_spark.analytics.decontam import decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),  # eval member (0 % 97 == 0)
+            (1, "prefix words the quick brown fox jumps and more text here"),
+            (2, "completely unrelated content about spark shuffles and joins"),
+            (97, "another eval member with its own unique benchmark phrasing"),
+            (3, "another eval member with its own unique benchmark phrasing"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(docs, n=5, eval_mod=97).collect()}
+    assert set(got) == {1, 2, 3}, "eval docs must not appear in the audit"
+    assert got[1].contaminated and got[1].n_shared == 1
+    assert not got[2].contaminated and got[2].n_shared == 0
+    assert got[3].contaminated  # exact copy of eval doc 97
+    assert got[3].n_shared == got[3].n_shingles
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """The scale contract: the eval shingle set must ride a broadcast —
+    the corpus shingles never shuffle on shingle."""
+    from etherscan_contract_crawler_spark.analytics.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} filler words padding out five grams {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = decontaminate(docs, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_embedding_centroid_math(spark):
+    """Centroid = per-position mean; verify against numpy on a tiny fixture."""
+    import numpy as np
+
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], 0),
+            (2, [3.0, 2.0, 1.0], 0),
+            (3, [10.0, 0.0, -10.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("c"))
+        .collect()
+    )
+    got = {(r.label, r.pos): r.c for r in out}
+    assert got[(0, 1)] == 2.0 and got[(0, 2)] == 2.0 and got[(0, 3)] == 2.0
+    assert got[(1, 1)] == 10.0 and got[(1, 3)] == -10.0
+    assert len(got) == 6

@@ -100,6 +100,40 @@ def test_gc_orphans_removes_uncommitted_staging(spark, tmp_path):
     assert t.read(spark).count() == 1
 
 
+def test_stage_append_invisible_until_commit(spark, tmp_path):
+    """The engine's concurrent commit wave stages url_seen's data write and
+    defers the manifest commit until the dead-letter merge lands (crash
+    ordering). Pin the contract: a staged dir is invisible to readers,
+    reclaimed by gc_orphans if the commit never happens, and the commit
+    guard rejects a stale sid (concurrent commit on the same table)."""
+    import os
+
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create("k string, v int")
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+
+    sid, d, n = t.stage_append(spark.createDataFrame([("b", 2)], "k string, v int"))
+    assert n == 1 and os.path.isdir(d)
+    assert t.read(spark).count() == 1  # staged rows invisible
+    # crash before commit: startup GC reclaims the unreferenced dir
+    removed = t.gc_orphans()
+    assert removed and not os.path.exists(d)
+
+    # normal path: stage then commit makes the rows visible with lineage
+    sid2, d2, _ = t.stage_append(spark.createDataFrame([("c", 3)], "k string, v int"))
+    t.commit_append(sid2, d2, lineage={"epoch": 7})
+    assert t.read(spark).count() == 2
+    assert t.lineage()["epoch"] == 7
+
+    # stale-sid guard: another commit raced in between stage and commit
+    sid3, d3, _ = t.stage_append(spark.createDataFrame([("d", 4)], "k string, v int"))
+    t.append(spark.createDataFrame([("e", 5)], "k string, v int"))
+    with _pytest.raises(RuntimeError, match="stale staged append"):
+        t.commit_append(sid3, d3)
+
+
 import pytest  # noqa: E402
 
 from etherscan_contract_crawler_spark.storage.iceberg_backend import (  # noqa: E402
