@@ -208,6 +208,10 @@ class CrawlEngine:
             from ..operators.politeness import max_epoch_capacity
 
             self._max_capacity = max_epoch_capacity(self.budgets, cfg.epoch_duration_s)
+        # defer_cap: the batch-cap window runs inside the landing job (the
+        # first consumer of this cache) instead of as its own schedule-phase
+        # wave; the pending-set cache it reads is released right after the
+        # landing write materializes `scheduled` (round 3b)
         scheduled = schedule_epoch(
             self.pending(),
             budgets=self.budgets,
@@ -218,6 +222,7 @@ class CrawlEngine:
             max_capacity=self._max_capacity,
             plan=cfg.schedule_plan,
             topk_state=self._topk_state,
+            defer_cap=True,
         ).cache()
 
         order: list[str] | None = None
@@ -279,6 +284,11 @@ class CrawlEngine:
         # is empty (full replay — every payload already landed) and makes the
         # partition column (valid) part of the contract
         raw = self.spark.read.schema(FETCH_RESULT_DDL).parquet(raw_dir)
+        # the landing write materialized `scheduled`'s cache — release the
+        # deferred pending-set cache global_topk left for us (defer_cap)
+        rel = self._topk_state.pop("_release", None)
+        if rel is not None:
+            rel.unpersist()
         _mark("fetch_land")
 
         # stats come from the landed files — column-pruned scan, no refetch.

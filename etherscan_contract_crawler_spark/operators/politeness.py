@@ -101,6 +101,7 @@ def schedule_epoch(
     max_capacity: int | None = None,
     plan: str = "fused",
     topk_state: dict | None = None,
+    defer_cap: bool = False,
 ) -> DataFrame:
     """Produce the ordered, admitted fetch batch for one epoch.
 
@@ -155,7 +156,7 @@ def schedule_epoch(
         .drop("capacity")
     )
     if batch_size is not None:
-        admitted = global_topk(admitted, batch_size, state=topk_state)
+        admitted = global_topk(admitted, batch_size, state=topk_state, defer=defer_cap)
     return admitted
 
 
@@ -174,6 +175,7 @@ def global_topk(
     n_buckets: int = 64,
     sample_n: int = 4000,
     state: dict | None = None,
+    defer: bool = False,
 ) -> DataFrame:
     """Exact global top-k in canonical order, fully distributed.
 
@@ -197,6 +199,16 @@ def global_topk(
     fewer wave over the pending set. When the counts show the reused
     boundaries have gone stale (one bucket hogging the rows), the entry is
     dropped and the next epoch resamples.
+
+    ``defer`` (round 3b, requires ``state``): skip the eager
+    materialization of the capped batch — the boundary-bucket window runs
+    inside the FIRST CONSUMER's job (the engine's landing write, which
+    caches the batch anyway) instead of as its own wave here. Correctness
+    is unchanged: the cutoff (boundary bucket + quota) is already frozen
+    as literals from the counts job, and that job fully materialized the
+    persisted input, so the deferred window is a deterministic read of the
+    cache. The input stays persisted until the caller releases
+    ``state["_release"]`` (after its own cache materializes).
     """
     key = _order_key()
     # the upstream scheduling DAG (probe + admission window over the full
@@ -213,7 +225,11 @@ def global_topk(
         ]
         if len(sample) < 8:
             # tiny input — the single-merge TakeOrdered plan is optimal there
-            out = df.orderBy(*canonical_order()).limit(k).persist()
+            out = df.orderBy(*canonical_order()).limit(k)
+            if defer and state is not None:
+                state["_release"] = df
+                return out
+            out = out.persist()
             out.count()
             df.unpersist()
             return out
@@ -262,6 +278,11 @@ def global_topk(
             .filter((F.col("_bk") < boundary_bk) | (F.col("_grn") <= quota))
             .drop("_bk", "_grn")
         )
+    if defer and state is not None:
+        # deferred: the first consumer materializes the batch; the caller
+        # unpersists state["_release"] once its own cache is warm
+        state["_release"] = df
+        return out
     # materialize the capped batch from the cached input, then release it —
     # downstream consumers (fetch job, url_seen merge) read this cache, not
     # a re-run of the scheduling DAG
