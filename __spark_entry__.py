@@ -1735,6 +1735,32 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+# within-document n-gram repetition — the Gopher/FineWeb "repetitive text"
+# quality signal. Pure projection (sequence/transform + array_distinct),
+# no explode, no shuffle: runs at scan speed at any corpus size.
+@_q(
+    "doc_repetition",
+    f"""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+                THEN round(1.0 - len(list_distinct(g)) / len(g), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM (
+      SELECT doc_id, w,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents))
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------- contract
 
 

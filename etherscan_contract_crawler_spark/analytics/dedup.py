@@ -54,12 +54,18 @@ def shingle_df(docs: DataFrame, n: int = 3, key_col: str = "doc_id") -> DataFram
     """Distinct word n-gram shingles per document."""
     words = normalized_words()
     n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty: a doc with
+    # fewer than n words would fabricate partial shingles the DuckDB
+    # oracle (range-based, genuinely empty) never sees — guard explicitly
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
         docs.select(F.col(key_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
         .distinct()

@@ -123,3 +123,49 @@ def winnow_fingerprints(
         grams.select("doc_id", F.min("gh").over(win).alias("fp"))
         .distinct()
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition — the Gopher/FineWeb quality signal: the
+    fraction of word n-grams that are duplicates of an earlier n-gram in
+    the same document (high => templated/spammy text a curator drops).
+
+    Plan shape: a PURE PROJECTION — the n-gram array is built with
+    ``sequence``/``transform``, totals via ``size`` and
+    ``size(array_distinct(...))``; no explode, no shuffle, full codegen.
+    At 100 TB this runs at scan speed and the filter a curator derives
+    from it pushes into the same scan.
+
+    Returns (doc_id, n_words, n_grams, n_distinct, rep_ratio) with
+    rep_ratio = 1 - n_distinct/n_grams (0 for docs too short to have a
+    single n-gram), rounded to 6 so the DuckDB oracle hashes identically
+    (exact rational of two ints — deterministic on both sides).
+    """
+    words = normalized_words(text_col)
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
+    # too-short-doc case with an explicit empty array
+    grams = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.when(F.size(grams) > 0,
+               F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )

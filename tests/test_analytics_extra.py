@@ -294,3 +294,37 @@ def test_embedding_centroid_math(spark):
     assert got[(0, 1)] == 2.0 and got[(0, 2)] == 2.0 and got[(0, 3)] == 2.0
     assert got[(1, 1)] == 10.0 and got[(1, 3)] == -10.0
     assert len(got) == 6
+
+
+def test_repetition_stats_counts_and_short_doc_guard(spark):
+    """Duplicate-3-gram fraction on a hand-computed fixture; a doc with
+    fewer than 3 words must yield zero grams (Spark's sequence(1,0) is
+    descending, not empty — the guard this pins)."""
+    from etherscan_contract_crawler_spark.analytics.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 9 words, 7 grams, 3 distinct
+            (2, "all words distinct here now"),  # 5 words, 3 grams, 3 distinct
+            (3, "two words"),  # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs, n=3).collect()}
+    assert (got[1].n_words, got[1].n_grams, got[1].n_distinct) == (9, 7, 3)
+    assert got[1].rep_ratio == round(1 - 3 / 7, 6)
+    assert (got[2].n_grams, got[2].n_distinct, got[2].rep_ratio) == (3, 3, 0.0)
+    assert (got[3].n_grams, got[3].n_distinct, got[3].rep_ratio) == (0, 0, 0.0)
+
+
+def test_shingle_df_short_doc_yields_no_shingles(spark):
+    """shingle_df must not fabricate partial shingles for docs shorter
+    than the shingle width (the sequence(1,0)-descending trap)."""
+    from etherscan_contract_crawler_spark.analytics.dedup import shingle_df
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "one two three four")], "doc_id long, text string"
+    )
+    got = shingle_df(docs, n=3).collect()
+    assert {r.doc_id for r in got} == {2}
+    assert len(got) == 2  # "one two three", "two three four"
