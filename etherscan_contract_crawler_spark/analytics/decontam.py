@@ -45,20 +45,18 @@ def ngram_overlap(
         shingle_df(eval_docs, n=n, key_col=key_col)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    # tiny side broadcast: the corpus's shingles never shuffle on shingle
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    totals = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # ONE pass: broadcast left join marks eval hits in-stream, then a single
+    # doc_id aggregation produces both counts — the corpus's shingles never
+    # shuffle on shingle and never get scanned twice (plan: the shingle
+    # distinct + this agg are the only exchanges)
     return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
         )
     )
 
