@@ -146,8 +146,16 @@ def repetition_stats(
     single n-gram), rounded to 6 so the DuckDB oracle hashes identically
     (exact rational of two ints — deterministic on both sides).
     """
-    words = normalized_words(text_col)
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # words and grams are materialized as COLUMNS between projections:
+    # inside higher-order lambdas (and across multi-reference projections)
+    # Spark does no common-subexpression elimination, so inlining the
+    # split/transform expressions would re-run them once per reference
+    # (CollapseProject keeps the layers apart because the producing
+    # expressions are non-cheap and multiply referenced)
+    worded = docs.select(
+        F.col(key_col).alias("doc_id"), normalized_words(text_col).alias("_w")
+    )
+    n_sh = F.greatest(F.size("_w") - (n - 1), F.lit(0))
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
     # too-short-doc case with an explicit empty array
     grams = F.when(
@@ -155,17 +163,29 @@ def repetition_stats(
         F.transform(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+                " ", *[F.element_at("_w", (i + j).cast("int")) for j in range(n)]
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    return docs.select(
-        F.col(key_col).alias("doc_id"),
-        F.size(words).cast("long").alias("n_words"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
-        F.when(F.size(grams) > 0,
-               F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6))
+    grammed = worded.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        grams.alias("_g"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+    )
+    return grammed.select(
+        "doc_id",
+        "n_words",
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6),
+        )
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
