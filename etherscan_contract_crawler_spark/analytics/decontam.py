@@ -40,10 +40,15 @@ def ngram_overlap(
     distinct word n-grams appear anywhere in the eval set. Docs with zero
     overlap are kept (left join) so the output is a full corpus audit.
     """
+    from .dedup import gram_array, normalized_words
+
     train_sh = shingle_df(train, n=n, key_col=key_col)
+    # eval side only needs per-SHINGLE distinctness — going through
+    # shingle_df would pay a wasted (doc_id, shingle) distinct shuffle
+    # before this one
     eval_sh = (
-        shingle_df(eval_docs, n=n, key_col=key_col)
-        .select("shingle")
+        eval_docs.select(normalized_words().alias("_w"))
+        .select(F.explode(gram_array(n)).alias("shingle"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -37,6 +37,33 @@ def _hash60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def gram_array(n: int, words_col: str = "_w") -> F.Column:
+    """Word-n-gram array expression over a MATERIALIZED words column.
+
+    The single source of truth for gram construction (shingle_df,
+    repetition_stats, decontam all consume it — the SQL oracles re-derive
+    the same rule). Two non-obvious requirements it encodes:
+
+    * ``words_col`` must be a real column, not an inline split expression —
+      higher-order lambdas get no common-subexpression elimination, so an
+      inline expression would re-run the regex/split once per element_at
+      reference (measured 20x slowdown);
+    * Spark's ``sequence(1, 0)`` is DESCENDING [1, 0], not empty: a doc
+      with fewer than n words would fabricate partial grams the range-based
+      DuckDB oracles never see — hence the explicit empty-array guard.
+    """
+    n_sh = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
+    return F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words_col, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"):
     """A1 — find-duplicates semantics: checksum groups with >1 member."""
     return (
@@ -59,20 +86,7 @@ def shingle_df(docs: DataFrame, n: int = 3, key_col: str = "doc_id") -> DataFram
     worded = docs.select(
         F.col(key_col).alias("doc_id"), normalized_words().alias("_w")
     )
-    n_sh = F.greatest(F.size("_w") - (n - 1), F.lit(0))
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty: a doc with
-    # fewer than n words would fabricate partial shingles the DuckDB
-    # oracle (range-based, genuinely empty) never sees — guard explicitly
-    shingles = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("_w", (i + j).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    return worded.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return worded.select("doc_id", F.explode(gram_array(n)).alias("shingle")).distinct()
 
 
 def jaccard_pairs(

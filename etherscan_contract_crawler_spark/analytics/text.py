@@ -152,21 +152,12 @@ def repetition_stats(
     # split/transform expressions would re-run them once per reference
     # (CollapseProject keeps the layers apart because the producing
     # expressions are non-cheap and multiply referenced)
+    from .dedup import gram_array
+
     worded = docs.select(
         F.col(key_col).alias("doc_id"), normalized_words(text_col).alias("_w")
     )
-    n_sh = F.greatest(F.size("_w") - (n - 1), F.lit(0))
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
-    # too-short-doc case with an explicit empty array
-    grams = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("_w", (i + j).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = gram_array(n)
     grammed = worded.select(
         "doc_id",
         F.size("_w").cast("long").alias("n_words"),

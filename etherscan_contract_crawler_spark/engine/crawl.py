@@ -373,7 +373,20 @@ class CrawlEngine:
             F.lit(epoch).alias("failed_epoch"),
         )
 
+        # FAIR mode alone is not enough: jobs in the DEFAULT pool are FIFO
+        # relative to each other (FairSchedulableBuilder builds it with
+        # FIFO internal scheduling when no allocation file exists). Each
+        # task claims its own pool — distinct pools ARE fair-shared — so a
+        # wide job cannot head-of-line-block the small concurrent writes.
+        # setLocalProperty is per-thread (pinned-thread mode), so each
+        # worker tags only its own jobs.
+        def _pool(name: str) -> None:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"commit-{name}"
+            )
+
         def _dead_letter_task():
+            _pool("dead-letter")
             _, n = self.dead_letter.merge_not_matched(failed, ["url_sha1"])
             # the dead-letter rows are committed now — drop the valid=false
             # partition (full uncompressed payload bytes of failed fetches)
@@ -382,6 +395,7 @@ class CrawlEngine:
             return n
 
         def _seen_write_task():
+            _pool("url-seen")
             # mark-at-attempt over the WHOLE scheduled batch (K5) — including
             # keys skipped by the replay guard, whose payloads already
             # landed. APPEND, not MERGE: scheduled ⊆ unseen by construction
@@ -414,6 +428,7 @@ class CrawlEngine:
         prev = self._bloom_version()
 
         def _bloom_task():
+            _pool("bloom")
             # O(epoch delta), not O(total seen): the LSM store's new version
             # holds ONLY this epoch's run files; everything untouched is
             # carried by reference in the run manifest. Delta is valid only

@@ -169,6 +169,17 @@ def _order_key():
     )
 
 
+def _swap_release(state: dict, df: DataFrame) -> None:
+    """Record ``df`` as the deferred cache to release, unpersisting any
+    predecessor first — an epoch that aborted between scheduling and
+    landing never reached the engine's release point, and overwriting the
+    key silently would leak that cached pending set for the session."""
+    prev = state.pop("_release", None)
+    if prev is not None:
+        prev.unpersist()
+    state["_release"] = df
+
+
 def global_topk(
     df: DataFrame,
     k: int,
@@ -227,7 +238,7 @@ def global_topk(
             # tiny input — the single-merge TakeOrdered plan is optimal there
             out = df.orderBy(*canonical_order()).limit(k)
             if defer and state is not None:
-                state["_release"] = df
+                _swap_release(state, df)
                 return out
             out = out.persist()
             out.count()
@@ -281,7 +292,7 @@ def global_topk(
     if defer and state is not None:
         # deferred: the first consumer materializes the batch; the caller
         # unpersists state["_release"] once its own cache is warm
-        state["_release"] = df
+        _swap_release(state, df)
         return out
     # materialize the capped batch from the cached input, then release it —
     # downstream consumers (fetch job, url_seen merge) read this cache, not

@@ -137,12 +137,21 @@ class SnapshotTable:
         dead-letter merge so a crash between them replays the epoch instead
         of silently dropping its dead letters. An uncommitted staged dir is
         invisible to readers and reclaimed by ``gc_orphans`` on restart.
-        Returns (snapshot_id, data_dir, rows).
+
+        The staged dir gets a UNIQUE suffix (manifests reference arbitrary
+        paths, so no rename is needed at commit): writing to the
+        predictable ``s{sid}`` path would let a racing append() on the same
+        table overwrite staged bytes BEFORE the stale-sid guard in
+        ``commit_append`` could notice. Returns (snapshot_id, data_dir,
+        rows).
         """
+        import uuid
+
         prev = self.manifest()
         sid = prev["snapshot_id"] + 1
-        d, n = self._write_data(df, sid)
-        return sid, d, n
+        d = os.path.join(self._data_dir, f"s{sid:08d}w{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(d)
+        return sid, d, _parquet_rows(d)
 
     def commit_append(self, sid: int, d: str, lineage: dict | None = None) -> int:
         prev = self.manifest()

@@ -274,9 +274,11 @@ def test_decontam_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
 
 
-def test_embedding_centroid_math(spark):
-    """Centroid = per-position mean; verify against numpy on a tiny fixture."""
-    import numpy as np
+def test_embedding_centroid_math(spark, tmp_path):
+    """Centroid = per-position mean — exercised through the SHIPPED
+    embedding_centroids query (not a private re-implementation, so a
+    regression in __spark_entry__ fails here, not only at the oracle)."""
+    import __spark_entry__ as entry_mod
 
     e = spark.createDataFrame(
         [
@@ -286,12 +288,8 @@ def test_embedding_centroid_math(spark):
         ],
         "vec_id long, embedding array<float>, label int",
     )
-    out = (
-        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
-        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("c"))
-        .collect()
-    )
+    e.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = entry_mod.queries()["embedding_centroids"](spark, str(tmp_path)).collect()
     got = {(r.label, r.pos): r.c for r in out}
     assert got[(0, 1)] == 2.0 and got[(0, 2)] == 2.0 and got[(0, 3)] == 2.0
     assert got[(1, 1)] == 10.0 and got[(1, 3)] == -10.0
