@@ -175,7 +175,10 @@ def _swap_release(state: dict, df: DataFrame) -> None:
     landing never reached the engine's release point, and overwriting the
     key silently would leak that cached pending set for the session."""
     prev = state.pop("_release", None)
-    if prev is not None:
+    # identity guard: persist() returns the SAME DataFrame object, so if a
+    # caller re-schedules the identical input the predecessor IS the new
+    # cache — unpersisting it would evict what we are about to defer
+    if prev is not None and prev is not df:
         prev.unpersist()
     state["_release"] = df
 

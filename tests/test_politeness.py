@@ -185,3 +185,47 @@ def test_topk_state_reuse_is_exact(spark):
     assert {r.url_sha1 for r in got2.collect()} == {r.url_sha1 for r in exp2.collect()}
     # staleness detected -> boundaries dropped for resampling next epoch
     assert state.get("boundaries") is None or state["boundaries"] != frozen
+
+
+def test_global_topk_defer_matches_eager_and_releases(spark):
+    """defer=True must return the identical row set as the eager path,
+    leave the pending-set cache in state['_release'] for the caller, and
+    unpersist a predecessor when an aborted epoch never released it."""
+    import random
+
+    from etherscan_contract_crawler_spark.operators.politeness import global_topk
+
+    random.seed(23)
+    rows = [
+        (f"u{i:05d}", random.random(), "d", i % 16) for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "url_sha1 string, priority double, domain string, domain_hash int"
+    ).withColumn("next_fetch_time", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+    eager = {r.url_sha1 for r in global_topk(df, 500, state={}).collect()}
+
+    state: dict = {}
+    deferred = global_topk(df, 500, state=state, defer=True)
+    assert "_release" in state, "deferred cache handle must be recorded"
+    got = {r.url_sha1 for r in deferred.collect()}
+    assert got == eager
+
+    # simulate an aborted epoch: caller never released; the next epoch's
+    # schedule (a FRESH pending DataFrame, as in the engine) must unpersist
+    # the predecessor instead of leaking it
+    first_rel = state["_release"]
+    df2 = df.filter(F.col("domain_hash") >= 0)  # new plan object, same rows
+    global_topk(df2, 500, state=state, defer=True)
+    assert state["_release"] is not first_rel
+    assert first_rel.storageLevel.useMemory is False  # unpersisted
+
+    # re-scheduling the IDENTICAL object must NOT evict its own cache
+    # (persist() returns self, so predecessor and successor alias)
+    same = state["_release"]
+    global_topk(same, 500, state=state, defer=True)
+    assert state["_release"] is same
+    assert same.storageLevel.useMemory  # still cached
+
+    # normal release path
+    state.pop("_release").unpersist()
