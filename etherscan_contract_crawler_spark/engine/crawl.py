@@ -277,6 +277,10 @@ class CrawlEngine:
             results.write.mode("overwrite")
             .option("compression", "none")
             .option("parquet.block.size", 8 * 1024 * 1024)
+            # payload bytes are unique blobs — parquet's default dictionary
+            # build for the binary column burns CPU/heap hashing pages that
+            # never repeat, then abandons the dictionary at the threshold
+            .option("parquet.enable.dictionary", "false")
             .partitionBy("valid")
             .parquet(raw_dir)
         )
