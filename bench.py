@@ -294,7 +294,13 @@ def run_scaling(ceiling: dict | None = None) -> dict:
             # level BEFORE spending budget on canary-flagged ones
             target = 4
         elif degraded:
-            target = min(degraded, key=lambda c: window_ratio(kept(c)))
+            # gate levels (1 and 4 — the north_rule pair) are cleaned FIRST:
+            # the stamped verdict must come from clean windows (r3 VERDICT
+            # #1b); local16 is curve context only
+            gate_degraded = [c for c in degraded if c in (1, 4)]
+            target = min(
+                gate_degraded or degraded, key=lambda c: window_ratio(kept(c))
+            )
         elif (
             e14 is not None
             and e14 < GATE_THRESHOLD
@@ -336,6 +342,13 @@ def run_scaling(ceiling: dict | None = None) -> dict:
         "rule": f"scaling_efficiency_n_to_4n >= {GATE_THRESHOLD} (north_rule)",
         "value": e14,
         "verdict": "PASS" if (e14 is not None and e14 >= GATE_THRESHOLD) else "FAIL",
+        # the two levels the verdict is computed FROM must both have run in
+        # clean canary windows, or the number is about the box, not the
+        # engine (r3 VERDICT: the stamped PASS was measured on two levels
+        # flagged clean_window:false while the clean pass lived in prose)
+        "gate_levels_clean": all(
+            res[f"local{c}"]["clean_window"] for c in (1, 4)
+        ),
         # an efficiency above the box's own 1->4 ceiling means the 1-core
         # level ran in a slower window (inflated ratio); the retry loop
         # spends attempts pushing it back under before anything else
@@ -348,6 +361,60 @@ def run_scaling(ceiling: dict | None = None) -> dict:
     return res
 
 
+def run_loop() -> dict:
+    """Full streaming->batch loop probe (r3 VERDICT #6): the 250k-seed bench
+    frontier PLUS a streamed block of 5k discoveries drained through the
+    monitor face before every epoch, 3 epochs at 16 cores. Guards the
+    discovery->frontier->schedule->land handoff against regressing while the
+    batch engine gets faster. Reported per-epoch, not as a throughput gate."""
+    repo = os.path.dirname(os.path.abspath(__file__)) or "."
+    cmd = [
+        sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
+        "--cpus", "16", "--epochs", "3", "--epoch-duration", "1200",
+        "--batch-size", "40000", "--fetcher", "synthetic",
+        "--seeds", BENCH_SEEDS, "--warmup-batch", "5000",
+        "--loop-discoveries", "5000",
+    ]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1200, cwd=repo)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        return json.loads(line[-1]) if line else {"error": p.stderr[-500:]}
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+
+
+def _compact_scaling(crawl: dict) -> dict:
+    """The stdout summary the driver tail-captures must stay well under ~2 KB
+    (BENCH_r03.json shipped parsed:null because the full detail outgrew the
+    driver's tail window) — keep best-per-level + gate + canary + loop walls;
+    everything else lives in BENCH_DETAIL.json."""
+    if not crawl:
+        return {}
+    out = {}
+    for k, v in crawl.items():
+        if k.startswith("local") and isinstance(v, dict):
+            out[k] = {
+                kk: v.get(kk)
+                for kk in ("cpus", "urls", "wall_s", "urls_per_sec", "clean_window")
+            }
+            out[k]["n_runs"] = len(v.get("all_runs", []))
+        elif k == "single_box_mp_ceiling":
+            out[k] = {
+                kk: v.get(kk) for kk in ("ceiling_1_to_4", "ceiling_4_to_16",
+                                         "urls_per_sec_4proc")
+            }
+        elif k == "loop":
+            out[k] = {
+                kk: v.get(kk)
+                for kk in ("urls", "wall_s", "epoch_walls_s", "discovery_walls_s",
+                           "discoveries_per_epoch", "error")
+                if kk in v
+            }
+        else:
+            out[k] = v
+    return out
+
+
 def main():
     t0 = time.time()
     # hardware ceiling FIRST, before any Spark JVM exists in this process
@@ -357,19 +424,32 @@ def main():
     crawl = {} if SKIP_SCALING else run_scaling(ceiling)
     if ceiling is not None:
         crawl["single_box_mp_ceiling"] = ceiling
+    if not SKIP_SCALING:
+        crawl["loop"] = run_loop()
     total = round(time.time() - t0, 2)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
-                "crawl_scaling": crawl,
-            }
-        )
+    summary = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "crawl_scaling": _compact_scaling(crawl),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    # full per-run detail (all_runs, ceiling method, loop stderr) — committed
+    # alongside, so per-query timings + every attempt survive even if the
+    # driver's tail capture clips stdout
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)) or ".", "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "crawl_scaling": crawl}, f, indent=1)
+    line = json.dumps(summary)
+    if len(line) > 3500:  # belt and braces: never ship an unparseable tail
+        summary["queries"] = {k: v for k, v in list(queries.items())[:10]}
+        summary["queries_truncated_see_detail_file"] = True
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,15 @@ def main() -> None:
         "--timings", action="store_true",
         help="print per-epoch phase walls to stderr (schedule/fetch/commits/bloom)",
     )
+    ap.add_argument(
+        "--loop-discoveries", type=int, default=0,
+        help="full-loop probe: before each timed epoch, stream a block of N "
+        "freshly discovered addresses through the monitor face "
+        "(blockstream DataSource -> watermarked dedup -> frontier append) "
+        "so the epoch crawls a frontier that GREW mid-run — guards the "
+        "streaming->batch handoff against regressing while the batch "
+        "engine gets faster (r3 VERDICT #6)",
+    )
     args = ap.parse_args()
 
     from .engine.crawl import CrawlEngine, EngineConfig
@@ -155,10 +164,56 @@ def main() -> None:
         eng.run_epoch(0)
         eng.cfg.batch_size = args.batch_size
         first_epoch = 1
+
+    loop_chain = loop_ckpt = loop_seen = None
+    disc_walls: list[float] = []
+    epoch_walls: list[float] = []
+    if args.loop_discoveries:
+        from .storage.icetable import SnapshotTable
+        from .streaming.continuous import DISCOVERED_SEEN_DDL
+
+        loop_chain = os.path.join(warehouse, "chain")
+        loop_ckpt = os.path.join(warehouse, "stream_ckpt")
+        loop_seen = SnapshotTable(os.path.join(warehouse, "discovered_seen"))
+        loop_seen.create(DISCOVERED_SEEN_DDL)
+
+    def _stream_discoveries(e: int) -> None:
+        """One streamed block of deterministic discoveries (~2% of them
+        re-discoveries of the previous block, exercising both dedup tiers),
+        drained into the frontier via the real streaming face."""
+        import hashlib
+
+        from .sources.blockstream import write_block_file
+        from .streaming.continuous import run_discovery_to_frontier
+
+        txs = []
+        for i in range(args.loop_discoveries):
+            a = "0x" + hashlib.sha1(f"disc{e}:{i}".encode()).hexdigest()[:40]
+            if i % 3 == 0:
+                txs.append({"tx_hash": f"0xc{e}_{i}", "to_addr": None, "created_contract": a})
+            else:
+                txs.append({"tx_hash": f"0xl{e}_{i}", "to_addr": a, "code_present": True})
+        if e > first_epoch:
+            for i in range(max(1, args.loop_discoveries // 50)):
+                a = "0x" + hashlib.sha1(f"disc{e - 1}:{i}".encode()).hexdigest()[:40]
+                txs.append({"tx_hash": f"0xr{e}_{i}", "to_addr": a, "code_present": True})
+        write_block_file(loop_chain, e, f"2024-01-01T{12 + e // 60:02d}:{e % 60:02d}:00", txs)
+        q = run_discovery_to_frontier(
+            spark, loop_chain, loop_ckpt, eng.frontier, loop_seen,
+            n_buckets=args.n_buckets, epoch=e,
+        )
+        q.awaitTermination(600)
+
     t0 = time.time()
     total = 0
     for e in range(first_epoch, first_epoch + args.epochs):
+        if args.loop_discoveries:
+            td = time.time()
+            _stream_discoveries(e)
+            disc_walls.append(round(time.time() - td, 2))
+        te = time.time()
         s = eng.run_epoch(e)
+        epoch_walls.append(round(time.time() - te, 2))
         total += s.get("scheduled", 0)
         if args.timings and s.get("timings"):
             import sys
@@ -168,16 +223,17 @@ def main() -> None:
             break
     wall = time.time() - t0
     shutil.rmtree(warehouse, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "cpus": args.cpus,
-                "urls": total,
-                "wall_s": round(wall, 2),
-                "urls_per_sec": round(total / wall, 1) if wall > 0 else None,
-            }
-        )
-    )
+    out = {
+        "cpus": args.cpus,
+        "urls": total,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round(total / wall, 1) if wall > 0 else None,
+    }
+    if args.loop_discoveries:
+        out["epoch_walls_s"] = epoch_walls
+        out["discovery_walls_s"] = disc_walls
+        out["discoveries_per_epoch"] = args.loop_discoveries
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
