@@ -51,6 +51,7 @@ HEADLINE = [
     "phash_neardup",
     "decontam_ngram_overlap",
     "embedding_centroids",
+    "corpus_curation",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -328,3 +328,40 @@ def test_shingle_df_short_doc_yields_no_shingles(spark):
     got = shingle_df(docs, n=3).collect()
     assert {r.doc_id for r in got} == {2}
     assert len(got) == 2  # "one two three", "two three four"
+
+
+def test_corpus_curation_flags_consistent(spark):
+    """Flagship curation chain (r4): one row per doc, keep == conjunction of
+    the stage flags, non-canonical docs are never near-dup representatives,
+    eval docs are never kept."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    rows = entry_mod.queries()["corpus_curation"](spark, sf).collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert r.keep == (
+            r.is_canonical and r.is_neardup_rep and not r.is_eval
+            and not r.contaminated and r.retained and r.sampled
+        )
+        if not r.is_canonical:
+            assert not r.is_neardup_rep
+        if r.is_eval:
+            assert not r.keep
+    # the chain must actually filter (and not filter everything)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < n_docs
+
+
+def test_ann_recall_gate_rows(spark):
+    """The driver-visible ANN quality gates must report recall >= floor on
+    the sf0.001 fixture (deterministic — hash-derived planes/centroids)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("ann_lsh_recall", "ann_ivf_recall"):
+        [row] = qs[name](spark, "/root/testdata/sf0.001").collect()
+        assert row.recall_ge_floor, f"{name}: recall below pinned floor"
+        assert row.k == 5 and row.n_queries > 0
