@@ -303,9 +303,20 @@ class CrawlEngine:
         )
         if to_fetch is scheduled:
             # normal path: every scheduled row landed exactly once (ok or
-            # failed), so the landed stats already carry the schedule's
-            # cardinality — no separate count() job wave
+            # failed — fetch_batch's one-row-per-input CONTRACT), so the
+            # landed stats already carry the schedule's cardinality — no
+            # separate count() job wave
             n_scheduled = sum(int(r["n"]) for r in stat_rows)
+            if self.cfg.extra.get("debug_reconcile"):
+                # r3 ADVICE: a fetcher that drops rows on exception would
+                # silently skew lineage counters; this opt-in mode measures
+                # the schedule directly and fails loudly on divergence
+                actual = scheduled.count()
+                if actual != n_scheduled:
+                    raise RuntimeError(
+                        f"fetch_batch contract violation: {actual} scheduled "
+                        f"rows but {n_scheduled} landed (one-row-per-input)"
+                    )
         else:
             # replay: landed rows ⊂ scheduled (keys whose payloads already
             # committed are skipped by the fetch but still need the
@@ -408,10 +419,14 @@ class CrawlEngine:
             # anti-join — an O(total seen) scan every epoch — would verify a
             # tautology. The exact segment store is what makes this safe to
             # assert, and the parity/resume suites pin it.
+            # lineage passed at stage time too: the Iceberg backend stamps
+            # the (immutable) snapshot summary during the WAP write; this
+            # backend ignores it here and applies it at commit_append
             return self.url_seen.stage_append(
                 scheduled.select(
                     "url_sha1", "domain_hash", F.lit(epoch).alias("seen_epoch")
-                )
+                ),
+                lineage=lineage,
             )
 
         # The store's fold/full-rebuild paths need the seen set INCLUDING

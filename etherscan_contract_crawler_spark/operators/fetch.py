@@ -76,6 +76,13 @@ def fetch_batch(
     """Run the fetch stage; returns one full row per attempted URL (ok or
     failed), payload columns null on failure.
 
+    CONTRACT: exactly ONE output row per input row, always — a fetcher
+    exception settles the row as status='failed', it never drops it. The
+    engine derives the epoch's schedule cardinality and frontier offsets
+    from the LANDED rows (one count-free job instead of a separate
+    scheduled.count() wave), which is sound only under this invariant;
+    ``EngineConfig.extra['debug_reconcile']`` re-checks it per epoch.
+
     ``validate_inline=True`` fuses U4 payload validation (decode + PSNR +
     caption/phash vs the deterministic reference) into the same Arrow pass —
     the payload bytes are already in hand, so a second mapInPandas stage over

@@ -59,6 +59,17 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # the engine's concurrent commit wave tags per-thread scheduler pools
+    # via setLocalProperty from ThreadPoolExecutor workers (crawl.py), which
+    # is only thread-safe under PySpark pinned-thread mode (default since
+    # Spark 3.2). With it disabled the pool tag can land on shared JVM
+    # threads and leak onto unrelated jobs — fail loudly instead (r3 ADVICE).
+    if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
+        raise RuntimeError(
+            "PYSPARK_PIN_THREAD=false breaks the engine's per-thread "
+            "scheduler-pool tagging (concurrent commit wave); unset it or "
+            "use pinned-thread mode"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -114,6 +114,54 @@ class IcebergTable:
         writer.append()
         return self.current_snapshot_id()
 
+    # ---------- staged append (engine commit-wave contract) ----------
+    # SnapshotTable.stage_append/commit_append let the engine overlap the
+    # heavy data write with other tables' jobs while ordering the cheap
+    # commits for crash consistency (engine/crawl.py's concurrent commit
+    # wave). The Iceberg-native analog is WAP (write-audit-publish): the
+    # staged write lands under a ``spark.wap.id`` — a real snapshot, with
+    # files, but NOT referenced by the table's current state — and the
+    # publish step is a metadata-only ``cherrypick_snapshot`` call.
+    # Return/argument shapes match SnapshotTable exactly (r3 ADVICE: the
+    # backend-parity interface had silently diverged), with the staged
+    # "dir" slot carrying the wap id.
+    def stage_append(self, df: DataFrame, lineage: dict | None = None) -> tuple[int, str, int]:
+        import uuid
+
+        wap = f"stage-{uuid.uuid4().hex[:16]}"
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ('write.wap.enabled'='true')"
+        )
+        self.spark.conf.set("spark.wap.id", wap)
+        try:
+            writer = df.writeTo(self.identifier)
+            if lineage is not None:
+                writer = writer.option(
+                    "snapshot-property.crawl.lineage",
+                    json.dumps(self._with_lineage(lineage)),
+                )
+            writer.append()
+        finally:
+            self.spark.conf.unset("spark.wap.id")
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            f"WHERE summary['wap.id'] = '{wap}' ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if not row:
+            raise RuntimeError(f"WAP-staged snapshot not found for wap.id={wap}")
+        return int(row[0][0]), wap, -1
+
+    def commit_append(self, sid: int, wap_id: str, lineage: dict | None = None) -> int:
+        """Publish a WAP-staged snapshot (metadata-only, ordered by the
+        caller). ``lineage`` here must equal what stage_append stamped —
+        the summary is immutable at publish time; pass it at stage time."""
+        cat, _, rest = self.identifier.partition(".")
+        self.spark.sql(
+            f"CALL {cat}.system.cherrypick_snapshot(table => '{rest}', "
+            f"snapshot_id => {sid})"
+        )
+        return self.current_snapshot_id()
+
     def merge_not_matched(
         self, df: DataFrame, keys: list[str], lineage: dict | None = None
     ) -> tuple[int, int]:

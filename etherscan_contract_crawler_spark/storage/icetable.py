@@ -128,8 +128,16 @@ class SnapshotTable:
                 de[d] = ep
         return de
 
-    def stage_append(self, df: DataFrame) -> tuple[int, str, int]:
+    def stage_append(
+        self, df: DataFrame, lineage: dict | None = None
+    ) -> tuple[int, str, int]:
         """Write an append's data dir WITHOUT committing the manifest.
+
+        ``lineage`` is accepted for interface parity with the WAP-based
+        Iceberg backend (where the snapshot summary must be stamped at
+        write time) and ignored here — this backend applies lineage in
+        ``commit_append``. Either way lineage becomes VISIBLE only at
+        commit, so the engine's happens-after ordering holds on both.
 
         Lets the engine overlap this table's data write with other tables'
         jobs while still ordering the (cheap, driver-side) manifest commits

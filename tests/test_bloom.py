@@ -153,6 +153,7 @@ def test_partial_build_is_invisible(spark, tmp_path):
     assert store.versions() == [2]
 
 
+@pytest.mark.slow
 def test_ten_million_key_store_bounded_segments(spark, tmp_path):
     """r1 VERDICT #1 'done' criterion: build+probe a >=10^7-key store with
     per-segment memory asserted under budget. Keys generated JVM-side."""

@@ -1,5 +1,7 @@
 """SnapshotTable: commits, MERGE idempotency, time travel, lineage."""
 
+import pytest
+
 from etherscan_contract_crawler_spark.storage.icetable import SnapshotTable
 
 
@@ -45,6 +47,7 @@ def test_empty_read_has_schema(spark, tmp_path):
     assert df.count() == 0 and set(df.columns) == {"k", "v"}
 
 
+@pytest.mark.slow
 def test_compact_and_expire_bounds_dirs(spark, tmp_path):
     """r1 VERDICT #3 'done' criterion: 50 epochs of merges accrete 50 data
     dirs; compact + expire must collapse them to one with identical reads
