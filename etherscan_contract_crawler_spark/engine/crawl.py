@@ -273,17 +273,35 @@ class CrawlEngine:
         # payload bytes are already codec-compressed — snappy on top only
         # burns CPU and buffers; small row groups cap per-task write buffering
         # (32 concurrent tasks x 128 MB default would churn ~4 GB of heap)
-        (
-            results.write.mode("overwrite")
-            .option("compression", "none")
-            .option("parquet.block.size", 8 * 1024 * 1024)
-            # payload bytes are unique blobs — parquet's default dictionary
-            # build for the binary column burns CPU/heap hashing pages that
-            # never repeat, then abandons the dictionary at the threshold
-            .option("parquet.enable.dictionary", "false")
-            .partitionBy("valid")
-            .parquet(raw_dir)
-        )
+        #
+        # STREAMING dynamic-partition write: Spark's planned write inserts a
+        # per-task Sort(valid) below a partitionBy writer, which buffers the
+        # task's ENTIRE payload output in the sorter before one row reaches
+        # parquet — for this write that's gigabytes of extra memcpy and
+        # allocation churn overlapping the Python fetch workers, bought to
+        # order a column with two values. Concurrent output writers (one
+        # open file per partition value, cap 3 > 2 values) let payload rows
+        # stream Arrow -> parquet instead. Session-scoped conf, restored
+        # after the write (the landing is the only dynamic-partition write
+        # in the epoch, and the commit wave runs after this job returns).
+        prev_pw = self.spark.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+        self.spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+        self.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "3")
+        try:
+            (
+                results.write.mode("overwrite")
+                .option("compression", "none")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                # payload bytes are unique blobs — parquet's default dictionary
+                # build for the binary column burns CPU/heap hashing pages that
+                # never repeat, then abandons the dictionary at the threshold
+                .option("parquet.enable.dictionary", "false")
+                .partitionBy("valid")
+                .parquet(raw_dir)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", prev_pw)
+            self.spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
         # explicit schema: avoids inference failure when the guarded refetch
         # is empty (full replay — every payload already landed) and makes the
         # partition column (valid) part of the contract

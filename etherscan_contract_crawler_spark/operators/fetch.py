@@ -123,7 +123,12 @@ def fetch_batch(
                     valid = True
                 out["valid"].append(valid)
                 out["image_id"].append(p.get("image_id"))
-                out["bytes"].append(p.get("bytes"))
+                # invalid payloads never reach the images table (the engine
+                # drops the valid=false dir after the dead-letter merge), so
+                # their bytes would cross Arrow and hit the landing write
+                # only to be deleted — null them at the source (r3 VERDICT:
+                # wasted write bandwidth proportional to the failure rate)
+                out["bytes"].append(p.get("bytes") if valid else None)
                 out["w"].append(p.get("w"))
                 out["h"].append(p.get("h"))
                 out["fmt"].append(p.get("fmt"))
