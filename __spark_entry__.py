@@ -1763,6 +1763,82 @@ def doc_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), n=3)
 
 
+# SimHash near-dup pairs — completes the text-side near-dup family: simhash
+# (above) computes the 32-bit sketch; this finds all pairs within Hamming 3
+# via the SAME pigeonhole banding as the image path (analytics/phash.py is
+# hash-agnostic: 4 bands x 8 bits, exact for max_hamming < n_bands, never
+# all-pairs). Oracle: brute-force bit_count(xor) over the simhash oracle.
+@_q(
+    "simhash_neardup",
+    f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.phash import phash_neardup_pairs
+
+    sh = simhash(_t(spark, sf_dir, "documents"))
+    return phash_neardup_pairs(
+        sh, phash_col="simhash", key_col="doc_id",
+        max_hamming=3, n_bands=4, band_bits=8,
+    )
+
+
+# per-doc top-k TF-IDF terms — the keyword/topic primitive of a curation
+# pipeline (salient-term audit, topic balancing). Two hash aggregates
+# (map-side combinable: (doc,token) then (token)), a broadcast single-row
+# corpus count, and ONE window whose literal rk<=3 plants the map-side
+# partial WindowGroupLimit below the exchange. Scores rounded BEFORE
+# ranking (the cross-engine float convention used by ann_cosine_topk).
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token <> '' GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 round(tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (token), n)
+    SELECT doc_id, token, tfidf, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token ASC) AS rk
+          FROM s)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import normalized_words
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(normalized_words()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 # ANN quality gates (r3 VERDICT #4): the approximate top-k operators are
 # rows-only by design (their buckets come from Spark's xxhash64, which no
 # SQL engine reproduces), so these companion queries make their QUALITY
@@ -1998,6 +2074,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     # round 4
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
+    "simhash_neardup", "tfidf_top_terms",
     # round 3 (never appeared in a driver CORRECTNESS file)
     "pagerank_priority", "asof_join_clicks", "range_join_events",
     "stratified_sample", "top_tokens_lang", "phash_neardup",

@@ -1,6 +1,8 @@
 """Streaming discovery → frontier → batch crawl: the full continuous loop
 (custom DataSource chain → bounded dedup → frontier append → engine epoch)."""
 
+import pytest
+
 from etherscan_contract_crawler_spark.engine.crawl import CrawlEngine, EngineConfig
 from etherscan_contract_crawler_spark.sources.blockstream import write_block_file
 from etherscan_contract_crawler_spark.storage.icetable import SnapshotTable
@@ -10,6 +12,7 @@ from etherscan_contract_crawler_spark.streaming.continuous import (
 )
 
 
+@pytest.mark.slow
 def test_stream_discovery_feeds_crawl_epoch(spark, tmp_path):
     chain = str(tmp_path / "chain")
     addr = lambda i: "0x" + f"{i:040x}"  # noqa: E731

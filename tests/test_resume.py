@@ -2,6 +2,8 @@
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from etherscan_contract_crawler_spark.engine.crawl import CrawlEngine, EngineConfig
 from etherscan_contract_crawler_spark.operators.fetch import IMAGES_DDL, fetch_batch
 from etherscan_contract_crawler_spark.operators.politeness import schedule_epoch
@@ -13,6 +15,7 @@ def _engine(spark, tmp_path, name, **kw):
     )
 
 
+@pytest.mark.slow
 def test_resume_after_epochs(spark, tiny_seeds_df, tmp_path):
     """Run 2 epochs, 'restart' (new engine object), finish; compare with an
     uninterrupted run."""
@@ -85,6 +88,7 @@ def test_frontier_offsets_monotonic(spark, tiny_seeds_df, tmp_path):
     assert sum(off0.values()) == 100  # batch_size rows scheduled in epoch 0
 
 
+@pytest.mark.slow
 def test_maintenance_preserves_results_and_bounds_dirs(spark, tiny_seeds_df, tmp_path):
     """Engine compaction cadence (maintain): same final tables as a run with
     maintenance disabled, metadata dirs bounded, and resume keeps working
@@ -137,6 +141,7 @@ def test_maintenance_preserves_results_and_bounds_dirs(spark, tiny_seeds_df, tmp
     assert len(a2.segments.versions()) <= 2
 
 
+@pytest.mark.slow
 def test_double_crash_same_epoch_replay_is_idempotent(spark, tiny_seeds_df, tmp_path):
     """TWO crashes inside the images-commit -> url_seen-append window of the
     same epoch (r2 ADVICE): attempt 1 lands a partial dir, attempt 2 lands
