@@ -1839,6 +1839,169 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+# span-level (passage) dedup — the RefinedWeb-style boilerplate remover:
+# drop every 10-word passage appearing verbatim in >=2 distinct docs and
+# reassemble the survivors in document order. Corpus is augmented with the
+# standard mirror rule so duplicated passages actually exist at test scale.
+# Reassembly (string ordered by passage index) is the part the per-passage
+# oracles can't see — it pins the collect/array_sort/concat_ws chain.
+@_q(
+    "passage_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0),
+    w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM corpus),
+    iw AS (SELECT doc_id, w,
+                  unnest(range(1, CAST(ceil(len(w) / 10.0) AS BIGINT) + 1)) AS i
+           FROM w WHERE len(w) > 0),
+    ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+                  array_to_string(list_slice(w, (i - 1) * 10 + 1, i * 10), ' ') AS chunk
+           FROM iw),
+    dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           coalesce(string_agg(CASE WHEN d.chunk IS NULL THEN c.chunk END,
+                               ' ' ORDER BY c.idx), '') AS kept_text
+    FROM ch c LEFT JOIN dup d ON c.chunk = d.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def passage_dedup_docs(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import passage_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "text"
+    )
+    return passage_dedup(d.unionByName(mirror), chunk_words=10, max_docs=2)
+
+
+# incremental corpus dedup — the crawl-time shape of near-dedup: a new batch
+# (exact mirrors of every 5th doc, which must be rejected, plus word-reversed
+# variants, whose shingle sets are disjoint and must be admitted) is screened
+# against the existing corpus by MinHash-LSH band buckets; only non-colliding
+# docs survive. Negative ids keep the injected namespace disjoint from real
+# doc_ids (r3 ADVICE #4).
+@_q(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    newb AS (
+      SELECT -doc_id - 1 AS doc_id, text FROM documents
+      WHERE doc_id < 150 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT -doc_id - 100000 AS doc_id,
+             array_to_string(list_reverse({_SQL_WORDS}), ' ') AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 5 = 1),
+    shc AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM corpus))),
+    shn AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM newb))),
+    mhc AS (SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS mh
+            FROM shc, range(0, 12) t(j) GROUP BY doc_id, j),
+    mhn AS (SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS mh
+            FROM shn, range(0, 12) t(j) GROUP BY doc_id, j),
+    bc AS (SELECT doc_id, j // 3 AS band,
+                  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
+           FROM mhc GROUP BY doc_id, j // 3),
+    bn AS (SELECT doc_id, j // 3 AS band,
+                  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
+           FROM mhn GROUP BY doc_id, j // 3),
+    hits AS (SELECT DISTINCT bn.doc_id
+             FROM bn JOIN (SELECT DISTINCT band, bh FROM bc) b USING (band, bh))
+    SELECT n.doc_id, md5(n.text) AS checksum FROM newb n
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        incremental_lsh_dedup,
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    mirrors = d.filter(F.col("doc_id") % 5 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
+    )
+    fresh = d.filter(F.col("doc_id") % 5 == 1).select(
+        (-F.col("doc_id") - 100_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(normalized_words())).alias("text"),
+    )
+    admitted = incremental_lsh_dedup(
+        mirrors.unionByName(fresh), d, n_hashes=12, bands=4
+    )
+    return admitted.select("doc_id", F.md5("text").alias("checksum"))
+
+
+# per-source (domain) curation rollup — the domain-level filtering stage of
+# a training pipeline: document count, mean quality, exact-dup count, and
+# token volume per source, over the mirror-augmented corpus. One fingerprint
+# hash agg (map-side partial), a frequency join whose build side is unique
+# per checksum, and one tiny exchange on source. avg is rounded to 4 (the
+# cross-engine float convention) because summation order differs per engine.
+def _rollup_sql() -> str:
+    en = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id, text, source FROM documents
+      WHERE doc_id % 3 = 0),
+    q AS (SELECT doc_id, source, md5(text) AS ck,
+                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                 round(0.4 * least(length(text) / 500.0, 1.0)
+                       + 0.3 * least(len(list_intersect({_SQL_WORDS}, [{en}])) / 5.0, 1.0)
+                       + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                                           THEN len(regexp_extract_all(text, '[.,!?;:]'))
+                                                / CAST(length(text) AS DOUBLE)
+                                           ELSE 0.0 END), 6) AS quality
+          FROM corpus),
+    f AS (SELECT ck, count(*) AS n FROM q GROUP BY ck)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM q JOIN f USING (ck)
+    GROUP BY source
+    """
+
+
+@_q("source_quality_rollup", _rollup_sql())
+def source_quality_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "text", "source"
+    )
+    c = d.unionByName(mirror)
+    q = quality_score(c)
+    meta = c.select("doc_id", "source", F.md5("text").alias("ck"))
+    freq = meta.groupBy("ck").agg(F.count("*").alias("n"))
+    return (
+        meta.join(freq, "ck")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum((F.col("n") > 1).cast("int")).cast("long").alias("n_dup_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 # ANN quality gates (r3 VERDICT #4): the approximate top-k operators are
 # rows-only by design (their buckets come from Spark's xxhash64, which no
 # SQL engine reproduces), so these companion queries make their QUALITY
@@ -2075,6 +2238,7 @@ _NEWEST_FIRST = [
     # round 4
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
+    "passage_dedup", "dedup_incremental", "source_quality_rollup",
     # round 3 (never appeared in a driver CORRECTNESS file)
     "pagerank_priority", "asof_join_clicks", "range_join_events",
     "stratified_sample", "top_tokens_lang", "phash_neardup",

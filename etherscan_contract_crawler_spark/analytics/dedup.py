@@ -242,19 +242,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n_hashes: int = MINHASH_N,
-    bands: int = LSH_BANDS,
-    key_col: str = "doc_id",
+def banded_signatures(
+    sigs: DataFrame, n_hashes: int = MINHASH_N, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH: docs sharing at least
-    one identical band land in the same bucket. Output: (doc_a, doc_b,
-    n_bands_shared). The shuffle key is (band_idx, band_hash) — cardinality
-    is controlled by band width, the scale knob."""
+    """(doc_id, band, bh) — each signature split into ``bands`` bands of
+    ``n_hashes // bands`` rows, band hash = md5 of the comma-joined mins.
+    The (band, bh) pair is the LSH bucket key every consumer joins on."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, key_col)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -273,12 +268,115 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_N,
+    bands: int = LSH_BANDS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH: docs sharing at least
+    one identical band land in the same bucket. Output: (doc_a, doc_b,
+    n_bands_shared). The shuffle key is (band_idx, band_hash) — cardinality
+    is controlled by band width, the scale knob."""
+    banded = banded_signatures(minhash_signatures(docs, n_hashes, key_col), n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n_hashes: int = MINHASH_N,
+    bands: int = LSH_BANDS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup: admit only new-batch docs that share NO
+    MinHash-LSH band bucket with the existing corpus.
+
+    This is the crawl-time shape of near-dedup — the corpus is already
+    ingested, each incoming batch is screened against it — as opposed to the
+    all-pairs shape (minhash_lsh_pairs) used for a one-shot corpus sweep.
+
+    Plan: both sides reduce to (band, bh) bucket keys; the corpus side is
+    DISTINCT'd (map-side combinable) before a left-semi probe, then one
+    left-anti keeps the non-colliding new docs. At 100 TB the corpus band
+    table is precomputed once and stored bucketed by (band, bh) — each
+    batch's screen is then a co-located semi join, never a corpus rescan
+    (same pattern as the url_seen LSM store: build once, probe per epoch).
+    """
+    bn = banded_signatures(minhash_signatures(new_docs, n_hashes, key_col), n_hashes, bands)
+    bc = banded_signatures(minhash_signatures(corpus_docs, n_hashes, key_col), n_hashes, bands)
+    hit_ids = (
+        bn.join(bc.select("band", "bh").distinct(), ["band", "bh"], "left_semi")
+        .select(F.col("doc_id").alias(key_col))
+        .distinct()
+    )
+    return new_docs.join(hit_ids, key_col, "left_anti")
+
+
+def passage_chunks(
+    docs: DataFrame, chunk_words: int = 10, key_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, idx, chunk) — normalized words split into consecutive
+    fixed-width word windows (the 'passage' unit of span-level dedup).
+    Words are materialized as a column before the lambda (no CSE inside
+    higher-order functions) and the empty-doc case is guarded (sequence(0,-1)
+    is descending, not empty)."""
+    d = docs.select(F.col(key_col).alias("doc_id"), normalized_words().alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("int")
+    chunks = F.when(
+        F.size("_w") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice("_w", i * chunk_words + 1, chunk_words)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return d.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+
+
+def passage_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    max_docs: int = 2,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup (the RefinedWeb/`exact-substring` family, at passage
+    granularity): drop every fixed-width passage that appears verbatim in
+    >= ``max_docs`` DISTINCT documents, and reassemble what survives.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, kept_text) — kept_text is the
+    surviving passages re-joined in document order (empty string when the
+    whole doc was boilerplate).
+
+    Plan shape: one explode (chunking), one hash agg for global passage
+    document-frequency, then a LEFT join of the chunk stream against ONLY
+    the duplicated-passage set — at web scale the dup set is orders of
+    magnitude smaller than the chunk universe, so the probe build side stays
+    small (broadcastable per partition of the frequency table), and the
+    final per-doc agg is one exchange on doc_id. A chunk repeated WITHIN a
+    single doc has df=1 and is kept — within-doc repetition is
+    repetition_stats' job, not dedup's.
+    """
+    ex = passage_chunks(docs, chunk_words, key_col)
+    freq = ex.groupBy("chunk").agg(F.count_distinct("doc_id").alias("df"))
+    dup = freq.filter(F.col("df") >= max_docs)
+    j = ex.join(dup, "chunk", "left")
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("df").isNull(), F.struct("idx", "chunk")))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("df").isNotNull().cast("int")).cast("long").alias("n_dup_chunks"),
+        F.concat_ws(
+            " ", F.transform(kept_structs, lambda s: s["chunk"])
+        ).alias("kept_text"),
     )
 
 
