@@ -122,6 +122,7 @@ def test_salted_agg_plan_has_two_aggregations(spark):
     assert plan.lower().count("hashaggregate") >= 2
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_floor(spark):
     """r1 VERDICT #6: pin ANN recall so future changes can't silently degrade
     it. The sf0.001 embeddings are near-random (weakly-similar neighbors) —
@@ -172,6 +173,7 @@ def test_jaccard_stop_shingle_cutoff(spark):
     assert len(cut) < len(exact)
 
 
+@pytest.mark.slow
 def test_ann_ivf_recall_floor_and_partition(spark):
     """IVF-flat: recall floors on the worst-case random fixture, and the
     coarse quantizer is a true partition (every vector in exactly one cell)."""
@@ -216,6 +218,7 @@ def test_neardup_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_neardup_components_long_chain_converges_fast(spark):
     """A 1000-vertex path graph (diameter 999) must converge within the
     default 25-round budget — pointer jumping makes rounds O(log n); plain

@@ -33,9 +33,9 @@ def _run_engine(spark, seeds_df, tmp_path, **cfg_kw):
 @pytest.mark.parametrize(
     "use_bloom,dedup_plan",
     [
-        (True, "auto"),   # cost gate picks the plan per epoch
-        (True, "store"),  # exact LSM-store dedup forced — no url_seen join
-        (False, "auto"),  # plain exact anti-join
+        pytest.param(True, "auto", marks=pytest.mark.slow),   # cost gate picks per epoch
+        pytest.param(True, "store", marks=pytest.mark.slow),  # exact LSM-store dedup forced
+        (False, "auto"),  # plain exact anti-join — the fast-loop parity leg
     ],
 )
 def test_engine_matches_oracle(
@@ -54,6 +54,7 @@ def test_engine_matches_oracle(
     assert dead == oracle.dead
 
 
+@pytest.mark.slow
 def test_engine_matches_oracle_with_expansion(spark, tiny_seed_rows, tiny_seeds_df, tmp_path):
     eng, orders, seen, images, dead = _run_engine(
         spark, tiny_seeds_df, tmp_path, epoch_duration_s=10, batch_size=120,

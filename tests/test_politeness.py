@@ -1,5 +1,6 @@
 """Politeness scheduling invariants (SURVEY.md §5.4)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from etherscan_contract_crawler_spark.operators.politeness import schedule_epoch
@@ -45,6 +46,7 @@ def test_salting_is_lossless(spark, tiny_seeds_df):
     assert sa == sb
 
 
+@pytest.mark.slow
 def test_batch_cap_takes_global_topk(spark, tiny_seeds_df):
     pending = _pending(spark, tiny_seeds_df)
     full = schedule_epoch(pending, epoch_duration_s=10)
@@ -79,6 +81,7 @@ def test_budget_dim_join(spark, tiny_seeds_df):
             assert n <= 50
 
 
+@pytest.mark.slow
 def test_robots_filter(spark, tiny_seeds_df):
     pending = _pending(spark, tiny_seeds_df)
     d = pending.select("domain").distinct().collect()[0].domain
@@ -88,6 +91,7 @@ def test_robots_filter(spark, tiny_seeds_df):
     assert sched.count() > 0
 
 
+@pytest.mark.slow
 def test_global_topk_matches_order_limit(spark):
     import random
 
@@ -147,6 +151,7 @@ def test_fused_matches_salted_plan(spark, tiny_seeds_df):
     assert fused == salted
 
 
+@pytest.mark.slow
 def test_topk_state_reuse_is_exact(spark):
     """Boundary reuse across epochs skips the sampling job but must never
     change the answer — even when the reused boundaries are badly stale."""
@@ -187,6 +192,7 @@ def test_topk_state_reuse_is_exact(spark):
     assert state.get("boundaries") is None or state["boundaries"] != frozen
 
 
+@pytest.mark.slow
 def test_global_topk_defer_matches_eager_and_releases(spark):
     """defer=True must return the identical row set as the eager path,
     leave the pending-set cache in state['_release'] for the caller, and

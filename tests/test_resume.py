@@ -37,6 +37,7 @@ def test_resume_after_epochs(spark, tiny_seeds_df, tmp_path):
         assert ka == kb, t
 
 
+@pytest.mark.slow
 def test_mid_epoch_crash_replay_is_idempotent(spark, tiny_seeds_df, tmp_path):
     """Simulate a crash after the images commit but before the url_seen
     commit — through the engine's ACTUAL landing path (staged write +

@@ -1,6 +1,7 @@
 """Streaming monitor: discovery semantics, BOUNDED stateful dedup, restart
 resume, long-tail seen-table dedup, and the custom Python DataSource source."""
 
+import pytest
 import datetime
 import os
 
@@ -91,6 +92,7 @@ def test_dedup_state_bounded_by_watermark(spark, tmp_path):
     assert state_rows <= 70, f"state grew with history: {state_rows} rows"
 
 
+@pytest.mark.slow
 def test_long_tail_dedup_via_seen_table(spark, tmp_path):
     """An address recurring AFTER watermark expiry is still deduped — by the
     durable seen table probed in foreachBatch (the bloom-backed long tail),
@@ -122,6 +124,7 @@ def test_long_tail_dedup_via_seen_table(spark, tmp_path):
     assert {r.address for r in seen.read(spark).collect()} == {"0xaaa1", "0xeee5"}
 
 
+@pytest.mark.slow
 def test_blockstream_datasource_end_to_end(spark, tmp_path):
     """S7 through the REAL custom-source API: python DataSource
     simpleStreamReader over the simulated chain, exactly-once across restart,

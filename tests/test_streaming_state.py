@@ -71,6 +71,7 @@ def _run(spark, in_dir, ckpt, out_dir, max_calls=3, period_s=1000, api="classic"
 
 
 @pytest.mark.parametrize("api", _API_PARAMS)
+@pytest.mark.slow
 def test_token_bucket_across_batches_and_restart(spark, tmp_path, api):
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     os.makedirs(in_dir)
