@@ -2228,6 +2228,262 @@ def entry(spark: SparkSession) -> DataFrame:
     return crawl_schedule_epoch(spark, "/root/testdata/sf0.001")
 
 
+# HITS hubs & authorities over the same deterministic link graph as
+# pagerank_priority (analytics/graph.py:hits). 2 fixed L1-normalized
+# iterations; the oracle chains the identical steps as CTEs — an
+# independent closed-form re-derivation. Rounded to 6 on both sides (the
+# normalizing division makes sum-order drift possible at ~1e-12).
+_HITS_STEP_SQL = """
+    a{k}r AS (SELECT e.dst AS id, SUM(h{j}.h) AS a
+              FROM edges e JOIN h{j} ON e.src = h{j}.id GROUP BY e.dst),
+    a{k} AS (SELECT nodes.id, COALESCE(r.a, 0) / (SELECT SUM(a) FROM a{k}r) AS a
+             FROM nodes LEFT JOIN a{k}r r ON nodes.id = r.id),
+    h{k}r AS (SELECT e.src AS id, SUM(a{k}.a) AS h
+              FROM edges e JOIN a{k} ON e.dst = a{k}.id GROUP BY e.src),
+    h{k} AS (SELECT nodes.id, COALESCE(r.h, 0) / (SELECT SUM(h) FROM h{k}r) AS h
+             FROM nodes LEFT JOIN h{k}r r ON nodes.id = r.id)"""
+
+
+@_q(
+    "hits_scores",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    h0 AS (SELECT id, 1.0 AS h FROM nodes),
+    {_HITS_STEP_SQL.format(k=1, j=0)},
+    {_HITS_STEP_SQL.format(k=2, j=1)}
+    SELECT h2.id, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+    FROM h2 JOIN a2 ON h2.id = a2.id
+    """,
+)
+def hits_scores(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    s = hits(edges, iters=2)
+    return s.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+# crawl-trap detection (functions/urls.py:trap_signals): depth / query-param
+# / repeated-segment signals as pure Column exprs over parse_url. URLs are
+# synthesized deterministically from part (path = p_name's words repeated
+# 1+p_size%3 times, p_partkey%6 query params) so traps actually exist at
+# test scale; the oracle re-PARSES the same URL string with RE2 regexes and
+# list ops — set-based repeat detection on both sides, no backreferences.
+@_q(
+    "crawl_trap_filter",
+    """
+    WITH u AS (
+      SELECT p_partkey,
+             'https://d' || CAST(p_partkey % 50 AS VARCHAR) || '.example.com/'
+             || array_to_string(flatten(list_transform(
+                  range(1, p_size % 5 + 2), x -> string_split(p_name, ' '))), '/')
+             || CASE WHEN p_partkey % 6 > 0
+                     THEN '?' || array_to_string(list_transform(
+                            range(1, p_partkey % 6 + 1),
+                            i -> 'p' || CAST(i AS VARCHAR) || '=' || CAST(i AS VARCHAR)), '&')
+                     ELSE '' END AS url
+      FROM part),
+    p AS (
+      SELECT p_partkey, url,
+             list_filter(string_split(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/'),
+                         s -> s <> '') AS segs,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u)
+    SELECT p_partkey,
+           CAST(len(segs) AS INT) AS depth,
+           CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS INT)
+             AS n_params,
+           CAST(len(segs) - len(list_distinct(segs)) AS INT) AS n_repeated,
+           (len(segs) >= 10
+            OR (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END) >= 4
+            OR (len(segs) >= 6
+                AND 2 * (len(segs) - len(list_distinct(segs))) >= len(segs)))
+             AS is_trap
+    FROM p
+    """,
+)
+def crawl_trap_filter(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.urls import trap_signals
+
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    segs = F.flatten(F.array_repeat(words, (F.col("p_size") % 5 + 1).cast("int")))
+    m = (F.col("p_partkey") % 6).cast("int")
+    params = F.concat_ws(
+        "&",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.concat(
+                F.lit("p"), i.cast("string"), F.lit("="), i.cast("string")
+            ),
+        ),
+    )
+    url = F.concat(
+        F.lit("https://d"),
+        (F.col("p_partkey") % 50).cast("string"),
+        F.lit(".example.com/"),
+        F.concat_ws("/", segs),
+        F.when(m > 0, F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+    sig = trap_signals(url)
+    return p.select("p_partkey", sig.alias("s")).select(
+        "p_partkey", "s.depth", "s.n_params", "s.n_repeated", "s.is_trap"
+    )
+
+
+# freshness-driven re-crawl lanes (operators/recrawl.py): change-rate from
+# the fetch-history LAG, integer-safe lane thresholds, ONE window shuffle.
+# History is derived from events (url = user_id%500, fingerprint = a value
+# bucket whose width grows with url_id, so hot/medium/static URLs all exist
+# and every lane branch is exercised at sf0.01).
+@_q(
+    "recrawl_lanes",
+    """
+    WITH h AS (
+      SELECT user_id % 500 AS url_id, ts, event_id AS obs_id,
+             CAST(floor(value / (50 * (1 + (user_id % 500) % 8))) AS VARCHAR) AS fp
+      FROM events),
+    l AS (
+      SELECT url_id,
+             CASE WHEN lag(fp) OVER w IS NOT NULL AND fp <> lag(fp) OVER w
+                  THEN 1 ELSE 0 END AS changed
+      FROM h WINDOW w AS (PARTITION BY url_id ORDER BY ts, obs_id)),
+    p AS (
+      SELECT url_id, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(changed) AS BIGINT) AS n_changes
+      FROM l GROUP BY url_id)
+    SELECT url_id, n_obs, n_changes,
+           CASE WHEN n_obs - 1 <= 0 THEN 'daily'
+                WHEN n_changes * 2 >= n_obs - 1 THEN 'hourly'
+                WHEN n_changes * 10 >= n_obs - 1 THEN 'daily'
+                ELSE 'weekly' END AS lane
+    FROM p
+    """,
+)
+def recrawl_lanes_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.recrawl import recrawl_lanes
+
+    e = _t(spark, sf_dir, "events")
+    hist = e.select(
+        (F.col("user_id") % 500).alias("url_id"),
+        "ts",
+        F.col("event_id").alias("obs_id"),
+        F.floor(
+            F.col("value") / (50 * (1 + F.col("user_id") % 500 % 8))
+        ).cast("string").alias("fingerprint"),
+    )
+    return recrawl_lanes(hist)
+
+
+# caption-image alignment (the input_hint's image+caption pair table, axes
+# B): cosine between each pair's image embedding and caption embedding —
+# the CLIP-score-shaped filter a multimodal curation pipeline gates pairs
+# on before training. Pairs are derived from embeddings (even vec_id =
+# image side, odd = caption side of pair vec_id//2): ONE equi-join on
+# pair_id, JVM-side zip_with/aggregate dot products (similarity.py:_dot
+# casts to double before multiply — the oracle mirrors that exactly), no
+# UDF. At 100 TB both sides bucket by pair_id and the join co-locates.
+@_q(
+    "caption_alignment",
+    """
+    WITH img AS (
+      SELECT vec_id // 2 AS pair_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 0),
+    cap AS (
+      SELECT (vec_id - 1) // 2 AS pair_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 1),
+    s AS (
+      SELECT i.pair_id,
+             list_sum(list_transform(range(1, len(i.v) + 1),
+                                     k -> i.v[k] * c.v[k])) AS dot,
+             sqrt(list_sum(list_transform(i.v, x -> x * x))) AS ni,
+             sqrt(list_sum(list_transform(c.v, x -> x * x))) AS nc
+      FROM img i JOIN cap c USING (pair_id))
+    SELECT pair_id, round(dot / (ni * nc), 4) AS alignment,
+           dot / (ni * nc) >= 0.1 AS aligned
+    FROM s
+    """,
+)
+def caption_alignment(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    img = e.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("iv"),
+    )
+    cap = e.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("cv"),
+    )
+    cos = _dot(F.col("iv"), F.col("cv")) / (
+        _norm(F.col("iv")) * _norm(F.col("cv"))
+    )
+    return img.join(cap, "pair_id").select(
+        "pair_id",
+        F.round(cos, 4).alias("alignment"),
+        (cos >= 0.1).alias("aligned"),
+    )
+
+
+# proportional-fair per-domain fetch-budget allocation: split a global
+# epoch budget of 10k fetch slots across domains by priority mass, capped
+# per domain (the politeness ceiling). Exact integer arithmetic end to end
+# — mass is snapped to cents BEFORE the ratio, so the allocation is
+# reproducible across engines and partitionings (no float-boundary floor
+# flips). One hash agg + a broadcast 1-row total: at 10^10 URLs the only
+# exchange is domain-sized.
+@_q(
+    "domain_budget",
+    """
+    WITH m AS (
+      SELECT o_custkey % 20 AS domain,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS mass_cents
+      FROM orders GROUP BY o_custkey % 20),
+    t AS (SELECT sum(mass_cents) AS total_cents FROM m)
+    SELECT m.domain, m.mass_cents,
+           CAST(least((10000 * m.mass_cents) // t.total_cents, 500) AS INT)
+             AS budget
+    FROM m CROSS JOIN t
+    """,
+)
+def domain_budget(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy((F.col("o_custkey") % 20).alias("domain"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("mass_cents")
+        )
+    )
+    t = m.agg(F.sum("mass_cents").alias("total_cents"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "domain",
+            "mass_cents",
+            F.least(
+                F.expr("(10000 * mass_cents) DIV total_cents"), F.lit(500)
+            ).cast("int").alias("budget"),
+        )
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -2239,6 +2495,8 @@ _NEWEST_FIRST = [
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",
+    "hits_scores", "crawl_trap_filter", "recrawl_lanes",
+    "caption_alignment", "domain_budget",
     # round 3 (never appeared in a driver CORRECTNESS file)
     "pagerank_priority", "asof_join_clicks", "range_join_events",
     "stratified_sample", "top_tokens_lang", "phash_neardup",

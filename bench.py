@@ -25,6 +25,11 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+#: scaling-only refresh: skip the sf0.1 query sweep and re-measure just the
+#: ceiling + scaling levels (+ loop), merging the existing queries section
+#: from BENCH_DETAIL.json — used to re-stamp the gate in a clean canary
+#: window without paying the ~40 min query sweep again
+SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "") == "1"
 
 HEADLINE = [
     "seed_ingest_dedup",
@@ -421,7 +426,17 @@ def main():
     # hardware ceiling FIRST, before any Spark JVM exists in this process
     # tree — timing runs must be the only load on the box (BASELINE.md)
     ceiling = None if SKIP_SCALING else measure_mp_ceiling()
-    queries = run_queries()
+    if SCALING_ONLY:
+        detail = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)) or ".", "BENCH_DETAIL.json"
+        )
+        try:
+            with open(detail) as f:
+                queries = json.load(f).get("queries", {})
+        except Exception:
+            queries = {}
+    else:
+        queries = run_queries()
     crawl = {} if SKIP_SCALING else run_scaling(ceiling)
     if ceiling is not None:
         crawl["single_box_mp_ceiling"] = ceiling

@@ -90,3 +90,91 @@ def pagerank(
     weighted.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over ``edges(src, dst)``.
+
+    PageRank above scores a page by WHO links to it; HITS separates the two
+    crawl-relevant roles — hub (links to good content: listing/index pages,
+    the pages a crawler should re-visit to DISCOVER) and authority (linked
+    from good hubs: the pages worth fetching deeply). The reference crawls
+    one hub (its hardcoded listing loop, contract_crawler.py:316-325);
+    at web scale the frontier needs both scores computed from the graph.
+
+    Semantics (pinned by the SQL oracle in __spark_entry__.py):
+      * init ``h = 1`` on every node; per iteration
+        ``a(v) = Σ_in h(u)`` then L1-normalize, ``h(u) = Σ_out a(v)`` then
+        L1-normalize. Fixed ``iters`` — closed-form, so an independent
+        DuckDB oracle chains the same steps as CTEs.
+      * L1 (sum) normalization, not L2: no sqrt, exactly re-derivable.
+
+    Scale notes (same discipline as :func:`pagerank`):
+      * edges — the 100-TB side — are shuffled ONCE into each of the two
+        join layouts (by src for the authority step's probe, by dst for the
+        hub step) and persisted; every iteration shuffles only the two
+        node-sized score vectors.
+      * the L1 sums are single-row aggregates broadcast back into the
+        projection (crossJoin of a 1-row frame — no driver collect).
+      * ``localCheckpoint`` per iteration keeps lineage O(1).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    by_src = edges.repartition("src").persist()
+    by_dst = edges.repartition("dst").persist()
+    by_src.count()
+    by_dst.count()
+
+    hubs = nodes.select("id", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(iters):
+        raw_a = (
+            by_src.join(hubs, on=by_src["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_sum = raw_a.agg(F.sum("a").alias("s"))
+        auths = (
+            nodes.join(raw_a, on=nodes["id"] == raw_a["dst"], how="left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "id", (F.coalesce("a", F.lit(0.0)) / F.col("s")).alias("a")
+            )
+        )
+        raw_h = (
+            by_dst.join(auths, on=by_dst["dst"] == auths["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_sum = raw_h.agg(F.sum("h").alias("s"))
+        hubs = (
+            nodes.join(raw_h, on=nodes["id"] == raw_h["src"], how="left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "id", (F.coalesce("h", F.lit(0.0)) / F.col("s")).alias("h")
+            )
+        )
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    out = hubs.join(auths.withColumnRenamed("a", "authority"), on="id").select(
+        "id", F.col("h").alias("hub"), "authority"
+    )
+    by_src.unpersist()
+    by_dst.unpersist()
+    nodes.unpersist()
+    return out

@@ -99,3 +99,56 @@ def url_key_projection(url: Column | str) -> Column:
     """
     c = F.col(url) if isinstance(url, str) else url
     return F.substring_index(F.element_at(F.split(c, "/"), -1), "#", 1)
+
+
+def url_path_segments(url: Column | str) -> Column:
+    """Path segments of a URL as ``array<string>`` (empty segments dropped).
+
+    ``parse_url(..., 'PATH')`` keeps whole-stage codegen; the filter drops
+    the artifacts of leading/duplicate slashes so depth counts segments,
+    not separators.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    segs = F.split(F.parse_url(c, F.lit("PATH")), "/")
+    return F.filter(segs, lambda s: s != "")
+
+
+def trap_signals(url: Column | str) -> Column:
+    """Crawl-trap signals for a URL as a struct
+    ``(depth int, n_params int, n_repeated int, is_trap boolean)``.
+
+    Calendar pages, session-id query strings, and symlink loops generate
+    unbounded URL spaces under a single domain — the classic crawler traps.
+    The reference never meets them (its universe is one finite listing,
+    contract_crawler.py:316-325); a 10^10-URL frontier must shed them
+    BEFORE they enter the frontier or a hot domain's politeness budget is
+    spent on garbage. Signals, all pure Column exprs (no UDF, no shuffle —
+    a scan-level projection a Catalyst filter can ride on):
+
+      * ``depth``       — path-segment count (deep = auto-generated);
+      * ``n_params``    — query parameters (session ids, facet explosions);
+      * ``n_repeated``  — depth minus distinct segments (loops repeat
+        segments: ``/a/b/a/b/...``) — set semantics, NOT regex
+        backreferences, so an RE2-based oracle can re-derive it;
+      * ``is_trap``     — ``depth >= 10 OR n_params >= 4 OR
+        (depth >= 6 AND n_repeated*2 >= depth)``.
+    """
+    segs = url_path_segments(url)
+    c = F.col(url) if isinstance(url, str) else url
+    q = F.parse_url(c, F.lit("QUERY"))
+    depth = F.size(segs)
+    n_params = F.when(
+        q.isNull() | (q == ""), F.lit(0)
+    ).otherwise(F.size(F.split(q, "&")))
+    n_repeated = depth - F.size(F.array_distinct(segs))
+    is_trap = (
+        (depth >= 10)
+        | (n_params >= 4)
+        | ((depth >= 6) & (n_repeated * 2 >= depth))
+    )
+    return F.struct(
+        depth.cast("int").alias("depth"),
+        n_params.cast("int").alias("n_params"),
+        n_repeated.cast("int").alias("n_repeated"),
+        is_trap.alias("is_trap"),
+    )
