@@ -2484,6 +2484,269 @@ def domain_budget(spark, sf_dir):
     )
 
 
+# image-axis flagship: phash near-dup pairs -> connected components ->
+# keep the best copy per cluster (max resolution, then lowest id) — the
+# end-to-end image dedup a multimodal curation pipeline runs between crawl
+# and training. Composes phash.phash_neardup_pairs (pigeonhole-exact
+# banding) + dedup.neardup_components (pointer-jumping label propagation)
+# + ONE WindowGroupLimit-bounded window; the oracle re-derives it with a
+# brute-force O(n^2) hamming join + recursive-CTE closure — a fully
+# independent formulation. Integration check: key/alias drift between the
+# three stages is invisible to the per-operator oracles.
+@_q(
+    "image_dedup_keep",
+    """
+    WITH RECURSIVE ph AS (
+      SELECT doc_id AS image_id,
+             xor(CAST(('0x' || substr(md5(source || '|' || CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                 (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))) AS phash,
+             CAST(16 + (doc_id * 37) % 2048 AS INT) AS w,
+             CAST(16 + (doc_id * 61) % 2048 AS INT) AS h
+      FROM documents),
+    pairs AS (
+      SELECT a.image_id AS a, b.image_id AS b
+      FROM ph a JOIN ph b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+    m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a),
+    comp AS (
+      SELECT ph.image_id, ph.w, ph.h,
+             CAST(least(ph.image_id, coalesce(m.mn, ph.image_id)) AS BIGINT)
+               AS component
+      FROM ph LEFT JOIN m ON m.a = ph.image_id),
+    r AS (
+      SELECT image_id, component, w, h,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY w * h DESC, image_id ASC) AS rn
+      FROM comp)
+    SELECT image_id, component, n_members, rn = 1 AS is_canonical FROM r
+    """,
+)
+def image_dedup_keep(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        _hash60,
+        neardup_components,
+    )
+    from etherscan_contract_crawler_spark.analytics.phash import (
+        phash_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ph = d.select(
+        did.alias("image_id"),
+        _hash60(
+            F.concat_ws("|", F.col("source"), (did % 50).cast("string"))
+        )
+        .bitwiseXOR(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))")
+        )
+        .alias("phash"),
+        (16 + (did * 37) % 2048).cast("int").alias("w"),
+        (16 + (did * 61) % 2048).cast("int").alias("h"),
+    )
+    pairs = phash_neardup_pairs(
+        ph, phash_col="phash", key_col="image_id", max_hamming=3
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = neardup_components(
+        ph.select(F.col("image_id").alias("doc_id")), edges
+    ).select(F.col("doc_id").alias("image_id"), "component")
+    scored = ph.select("image_id", "w", "h").join(comp, "image_id")
+    win = Window.partitionBy("component")
+    ordered = Window.partitionBy("component").orderBy(
+        (F.col("w") * F.col("h")).desc(), F.col("image_id").asc()
+    )
+    return scored.select(
+        "image_id",
+        "component",
+        F.count("*").over(win).alias("n_members"),
+        (F.row_number().over(ordered) == 1).alias("is_canonical"),
+    )
+
+
+# image+caption pair curation gates (analytics/multimodal.py): the
+# LAION-style keep/reject pass over the input_hint landing shape. Pairs
+# are synthesized from part so every gate branch (too_small, bad_aspect,
+# bad_fmt, short/long caption, keep) exists at sf0.01; the oracle builds
+# the identical pairs and re-derives the CASE in the same order.
+@_q(
+    "multimodal_gate",
+    """
+    WITH pr AS (
+      SELECT p_partkey AS image_id,
+             CAST(16 + (p_partkey * 37) % 2048 AS INT) AS w,
+             CAST(16 + (p_partkey * 61) % 2048 AS INT) AS h,
+             list_extract(['jpeg','png','webp','gif','bmp'],
+                          CAST(p_partkey % 5 AS INT) + 1) AS fmt,
+             CASE WHEN p_partkey % 11 = 0 THEN string_split(p_name, ' ')[1]
+                  WHEN p_partkey % 13 = 0 THEN array_to_string(flatten(
+                       list_transform(range(1, 21),
+                                      x -> string_split(p_name, ' '))), ' ')
+                  ELSE p_name END AS caption
+      FROM part),
+    g AS (
+      SELECT image_id, w, h, fmt,
+             CAST(len(regexp_split_to_array(trim(caption), '\\s+')) AS INT)
+               AS n_cap_tokens
+      FROM pr),
+    r AS (
+      SELECT *,
+             CASE WHEN least(w, h) < 64 THEN 'too_small'
+                  WHEN w > 3 * h OR h > 3 * w THEN 'bad_aspect'
+                  WHEN fmt NOT IN ('jpeg', 'png', 'webp') THEN 'bad_fmt'
+                  WHEN n_cap_tokens < 3 THEN 'short_caption'
+                  WHEN n_cap_tokens > 77 THEN 'long_caption'
+                  END AS reject_reason
+      FROM g)
+    SELECT image_id, w, h, fmt, n_cap_tokens, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM r
+    """,
+)
+def multimodal_gate(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.multimodal import pair_gates
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    words = F.split(F.col("p_name"), " ")
+    caption = (
+        F.when(pk % 11 == 0, F.element_at(words, 1))
+        .when(
+            pk % 13 == 0,
+            F.concat_ws(" ", F.flatten(F.array_repeat(words, 20))),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    pairs = p.select(
+        pk.alias("image_id"),
+        (16 + (pk * 37) % 2048).cast("int").alias("w"),
+        (16 + (pk * 61) % 2048).cast("int").alias("h"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["jpeg", "png", "webp", "gif", "bmp"]]),
+            ((pk % 5) + 1).cast("int"),
+        ).alias("fmt"),
+        caption.alias("caption"),
+    )
+    return pair_gates(pairs)
+
+
+# PII detection + redaction (analytics/pii.py): pure projections, the
+# regexes shared verbatim with the oracle (RE2-safe, no lookaround). PII
+# tokens are injected deterministically from doc_id so every type + the
+# no-PII branch exists at sf0.01; both sides build the identical augmented
+# string, so base-text accidental matches count the same everywhere.
+from etherscan_contract_crawler_spark.analytics.pii import PII_PATTERNS as _PII
+
+_PII_PAT = {name: pat for name, pat, _ in _PII}
+_PII_AUG_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+                          || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' ph 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST(doc_id % 254 + 1 AS VARCHAR)
+                     ELSE '' END
+             AS t
+      FROM documents)"""
+
+
+def _pii_aug_col():
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" mail u"), s(d), F.lit("@ex"), s(d % 7), F.lit(".com")
+    )
+    phone = F.concat(
+        F.lit(" ph 555-"), F.lpad(s(d % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+    )
+    ssn = F.concat(F.lit(" ssn 123-45-"), F.lpad(s(d % 10000), 4, "0"))
+    ip = F.concat(
+        F.lit(" ip 10.0."), s(d % 256), F.lit("."), s(d % 254 + 1)
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, email).otherwise(F.lit("")),
+        F.when(d % 3 == 0, phone).otherwise(F.lit("")),
+        F.when(d % 4 == 1, ssn).otherwise(F.lit("")),
+        F.when(d % 5 == 2, ip).otherwise(F.lit("")),
+    )
+
+
+_PII_COUNTS_SQL = " + ".join(
+    f"len(regexp_extract_all(t, '{p}'))" for _, p, _ in _PII
+)
+
+
+@_q(
+    "pii_detect",
+    f"""
+    {_PII_AUG_SQL}
+    SELECT doc_id,
+           {', '.join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_{n}"
+        for n, p, _ in _PII)},
+           CAST({_PII_COUNTS_SQL} AS INT) AS n_pii,
+           ({_PII_COUNTS_SQL}) > 0 AS has_pii
+    FROM aug
+    """,
+)
+def pii_detect(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.pii import pii_signals
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _pii_aug_col().alias("t"))
+    return pii_signals(aug, key_col="doc_id", text_col="t")
+
+
+_PII_REDACT_SQL = "t"
+for _n, _p, _r in _PII:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_p}', '{_r}', 'g')"
+
+
+@_q(
+    "pii_redact",
+    f"""
+    {_PII_AUG_SQL}
+    SELECT doc_id,
+           md5({_PII_REDACT_SQL}) AS redacted_md5,
+           CAST({_PII_COUNTS_SQL} AS INT) AS n_redactions
+    FROM aug
+    """,
+)
+def pii_redact_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.pii import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _pii_aug_col().alias("t"))
+    r = pii_redact(aug, key_col="doc_id", text_col="t")
+    return r.select(
+        "doc_id",
+        F.md5("redacted_text").alias("redacted_md5"),
+        "n_redactions",
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -2492,6 +2755,7 @@ def domain_budget(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",
