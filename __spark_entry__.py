@@ -2484,6 +2484,50 @@ def domain_budget(spark, sf_dir):
     )
 
 
+# redirect-chain resolution (operators/redirects.py): canonicalize the
+# frontier onto terminal URLs by pointer-DOUBLING over the functional
+# redirect map — 16-hop budget in 4 co-partitioned self-joins. Edge rule
+# (p = src%100): p=0 terminal, p=98/99 a 2-cycle, else src -> src-1, so
+# short chains (resolved, exact hop counts), over-budget chains and
+# cycles (resolved=false) all exist at sf0.01. Oracle walks the same map
+# with a depth-bounded recursive CTE — an independent formulation.
+@_q(
+    "redirect_resolution",
+    """
+    WITH RECURSIVE s AS (SELECT DISTINCT o_orderkey % 4000 AS src FROM orders),
+    edges AS (
+      SELECT src, CASE WHEN src % 100 = 98 THEN src + 1 ELSE src - 1 END AS dst
+      FROM s WHERE src % 100 <> 0),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.cur = e.src
+      WHERE w.hops < 16),
+    term AS (
+      SELECT w.src, w.cur AS terminal_id, w.hops AS nh
+      FROM walk w LEFT JOIN edges e ON w.cur = e.src
+      WHERE e.src IS NULL)
+    SELECT ed.src, t.terminal_id, CAST(t.nh AS INT) AS n_hops,
+           t.src IS NOT NULL AS resolved
+    FROM edges ed LEFT JOIN term t ON ed.src = t.src
+    """,
+)
+def redirect_resolution(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = o.select((F.col("o_orderkey") % 4000).alias("src")).distinct()
+    edges = s.filter(F.col("src") % 100 != 0).select(
+        "src",
+        F.when(F.col("src") % 100 == 98, F.col("src") + 1)
+        .otherwise(F.col("src") - 1)
+        .alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=16)
+
+
 # image-axis flagship: phash near-dup pairs -> connected components ->
 # keep the best copy per cluster (max resolution, then lowest id) — the
 # end-to-end image dedup a multimodal curation pipeline runs between crawl
@@ -2756,6 +2800,7 @@ def pii_redact_q(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
+    "redirect_resolution",
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",
