@@ -145,8 +145,21 @@ def fetch_batch(
 
     # spread fetch I/O evenly: key by (domain_hash, fetch_slot) so a hot
     # domain's slots land on different tasks while politeness offsets still
-    # serialize them in time; 2x overpartitioning absorbs residual skew
-    n_parts = scheduled.sparkSession.sparkContext.defaultParallelism * 2
+    # serialize them in time. Overpartitioning absorbs residual skew AND
+    # shortens the last-wave straggler tail — but the right factor is
+    # SCALE-AWARE: at 16 cores a 2x factor is exactly two waves, so one
+    # slow task idles 15 cores for its whole overrun (measured: factor 4
+    # cut the 16-core epoch 32 -> 20 s, BASELINE.md round 4); at 1-4 cores
+    # there is little tail to amortize and extra tasks are pure per-task
+    # overhead (measured ~7% at local[1]). Same rule at cluster scale:
+    # thousands of slots always want 3-4x task granularity.
+    import os as _os
+
+    _default = 4 if scheduled.sparkSession.sparkContext.defaultParallelism >= 16 else 2
+    _factor = max(
+        1, int(_os.environ.get("SPARK_GRAFT_FETCH_PARTS_FACTOR", str(_default)))
+    )
+    n_parts = scheduled.sparkSession.sparkContext.defaultParallelism * _factor
     return (
         scheduled.select(*cols, "fetch_slot")
         .repartition(n_parts, "domain_hash", "fetch_slot")
