@@ -57,6 +57,10 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "embedding_centroids",
     "corpus_curation",
+    "pii_detect",
+    "multimodal_gate",
+    "image_dedup_keep",
+    "redirect_resolution",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
