@@ -2484,6 +2484,48 @@ def domain_budget(spark, sf_dir):
     )
 
 
+# incremental image screen (analytics/phash.py phash_screen): flag which
+# images of a NEW crawl batch are near-dups of the existing corpus (same
+# pigeonhole-exact banding as phash_neardup; the corpus band index is
+# built once and bucket-joined per batch at scale). Batch/corpus split by
+# doc_id%5 over the same deterministic phash derivation as phash_neardup,
+# so real cross-set hits exist at sf0.01. Oracle: brute-force correlated
+# EXISTS over all (batch, corpus) popcounts.
+@_q(
+    "phash_incremental",
+    """
+    WITH ph AS (
+      SELECT doc_id,
+             xor(CAST(('0x' || substr(md5(source || '|' || CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                 (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))) AS phash
+      FROM documents),
+    batch AS (SELECT doc_id AS image_id, phash FROM ph WHERE doc_id % 5 = 0),
+    corpus AS (SELECT doc_id AS image_id, phash FROM ph WHERE doc_id % 5 <> 0)
+    SELECT b.image_id,
+           NOT EXISTS (SELECT 1 FROM corpus c
+                       WHERE bit_count(xor(b.phash, c.phash)) <= 3) AS is_new
+    FROM batch b
+    """,
+)
+def phash_incremental(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import _hash60
+    from etherscan_contract_crawler_spark.analytics.phash import phash_screen
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ph = d.select(
+        "doc_id",
+        _hash60(F.concat_ws("|", F.col("source"), (did % 50).cast("string")))
+        .bitwiseXOR(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))")
+        )
+        .alias("phash"),
+    )
+    batch = ph.filter(did % 5 == 0).select(did.alias("image_id"), "phash")
+    corpus = ph.filter(did % 5 != 0).select(did.alias("image_id"), "phash")
+    return phash_screen(batch, corpus, max_hamming=3)
+
+
 # redirect-chain resolution (operators/redirects.py): canonicalize the
 # frontier onto terminal URLs by pointer-DOUBLING over the functional
 # redirect map — 16-hop budget in 4 co-partitioned self-joins. Edge rule
@@ -2800,7 +2842,7 @@ def pii_redact_q(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
-    "redirect_resolution",
+    "redirect_resolution", "phash_incremental",
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",

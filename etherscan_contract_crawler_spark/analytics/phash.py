@@ -106,3 +106,69 @@ def phash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _banded(df: DataFrame, key_col: str, phash_col: str, n_bands: int, band_bits: int) -> DataFrame:
+    """(id, ph, band, bv) — one row per (row, band)."""
+    key, ph = F.col(key_col), F.col(phash_col)
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(ph, b * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(key.alias("id"), ph.alias("ph"), F.explode(bands).alias("bk")).select(
+        "id", "ph", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    )
+
+
+def phash_screen(
+    batch: DataFrame,
+    corpus: DataFrame,
+    phash_col: str = "phash",
+    key_col: str = "image_id",
+    max_hamming: int = 3,
+    n_bands: int = DEFAULT_BANDS,
+    band_bits: int = DEFAULT_BAND_BITS,
+) -> DataFrame:
+    """Screen a NEW image batch against the existing corpus index: flag each
+    batch row that has ANY corpus image within ``max_hamming`` (is_new =
+    false). The crawl-loop analog of dedup.incremental_lsh_dedup for the
+    image axis — run between fetch and landing so near-identical re-crawled
+    images never enter the corpus.
+
+    Exactness: same pigeonhole argument as phash_neardup_pairs (raises for
+    max_hamming >= n_bands). Scale: the corpus side reduces to its banded
+    index — at 10^10 images that table is built ONCE, stored bucketed by
+    (band, bv), and each crawl batch's screen is a co-located equi-join of
+    the (small) batch against matching buckets only; the popcount filter
+    then runs on candidates, and ONE aggregate per batch id flags hits.
+    The corpus never re-shuffles per batch.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded screen is only exact for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    b = _banded(batch, key_col, phash_col, n_bands, band_bits)
+    c = _banded(corpus, key_col, phash_col, n_bands, band_bits).select(
+        F.col("id").alias("c_id"), F.col("ph").alias("c_ph"), "band", "bv"
+    )
+    hits = (
+        b.join(c, ["band", "bv"])
+        .filter(
+            F.bit_count(F.col("ph").bitwiseXOR(F.col("c_ph"))) <= max_hamming
+        )
+        .select("id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        batch.select(F.col(key_col).alias("image_id"), F.col(phash_col).alias("phash"))
+        .join(hits, F.col("image_id") == hits["id"], "left")
+        .select("image_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("is_new"))
+    )

@@ -78,3 +78,31 @@ def test_plan_has_no_cartesian_and_joins_on_band_key(spark):
     plan = phash_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_screen_flags_near_dups(spark):
+    from etherscan_contract_crawler_spark.analytics.phash import phash_screen
+
+    corpus = spark.createDataFrame(
+        [(100, 0b1111000011110000), (101, 1 << 40)], ["image_id", "phash"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 0b1111000011110001),          # hamming 1 from corpus 100 -> dup
+            (2, (1 << 40) | 0b111),           # hamming 3 from corpus 101 -> dup
+            (3, 0b1010101010101010101010101), # far from everything -> new
+        ],
+        ["image_id", "phash"],
+    )
+    out = {r["image_id"]: r["is_new"] for r in phash_screen(batch, corpus).collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_phash_screen_exactness_guard(spark):
+    import pytest
+
+    from etherscan_contract_crawler_spark.analytics.phash import phash_screen
+
+    df = spark.createDataFrame([(1, 0)], ["image_id", "phash"])
+    with pytest.raises(ValueError):
+        phash_screen(df, df, max_hamming=4, n_bands=4)
