@@ -2484,6 +2484,64 @@ def domain_budget(spark, sf_dir):
     )
 
 
+# temperature-weighted source mixing (the data-mix sampler a training
+# pipeline runs last): per-source quotas proportional to sqrt(n_docs)
+# (alpha=0.5 temperature — upweights small sources like multilingual
+# sampling schemes in the public data-mix literature), capped at the
+# source size, selection by deterministic md5 hash-rank (partition- and
+# engine-invariant). Weights snap to integer milli-units BEFORE the ratio
+# so quota arithmetic is integer-exact across engines; sqrt/round are
+# IEEE-identical in JVM and DuckDB.
+@_q(
+    "source_mix_sample",
+    """
+    WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(round(sqrt(n_docs) * 1000) AS BIGINT) AS w_milli
+          FROM n),
+    t AS (SELECT sum(w_milli) AS tw FROM w),
+    q AS (SELECT w.source, least(w.n_docs, (150 * w.w_milli) // t.tw) AS quota
+          FROM w CROSS JOIN t),
+    r AS (SELECT d.doc_id, d.source,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                             d.doc_id) AS rn
+          FROM documents d)
+    SELECT r.doc_id, r.source, CAST(q.quota AS BIGINT) AS quota
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """,
+)
+def source_mix_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = n.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * 1000).cast("long").alias("w_milli"),
+    )
+    t = w.agg(F.sum("w_milli").alias("tw"))
+    q = (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.least(
+                F.col("n_docs"), F.expr("(150 * w_milli) DIV tw")
+            ).alias("quota"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select("doc_id", "source", F.row_number().over(win).alias("rn"))
+    return (
+        r.join(F.broadcast(q), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", F.col("quota").cast("long").alias("quota"))
+    )
+
+
 # incremental image screen (analytics/phash.py phash_screen): flag which
 # images of a NEW crawl batch are near-dups of the existing corpus (same
 # pigeonhole-exact banding as phash_neardup; the corpus band index is
@@ -2842,7 +2900,7 @@ def pii_redact_q(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
-    "redirect_resolution", "phash_incremental",
+    "redirect_resolution", "phash_incremental", "source_mix_sample",
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",

@@ -61,6 +61,8 @@ HEADLINE = [
     "multimodal_gate",
     "image_dedup_keep",
     "redirect_resolution",
+    "phash_incremental",
+    "source_mix_sample",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
