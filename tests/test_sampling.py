@@ -65,3 +65,24 @@ def test_top_tokens_plan_group_limit(spark):
     df = spark.createDataFrame([("en", "a b c")], "lang string, text string")
     plan = top_tokens(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_source_mix_sample_partition_invariant(spark):
+    """md5 hash-rank selection must not depend on input partitioning."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["source_mix_sample"]
+    base = sorted(
+        (r["doc_id"], r["source"], r["quota"])
+        for r in q(spark, "/root/testdata/sf0.001").collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        again = sorted(
+            (r["doc_id"], r["source"], r["quota"])
+            for r in q(spark, "/root/testdata/sf0.001").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again and len(base) > 0
