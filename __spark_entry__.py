@@ -2484,6 +2484,140 @@ def domain_budget(spark, sf_dir):
     )
 
 
+# inverted-index build (term -> sorted posting list): the classic
+# web-scale index pass. ONE exchange: explode words, group by term with
+# collect_set (in-agg dedup), array_sort for the deterministic posting
+# order. Full document frequency rides alongside a CAPPED posting head
+# (first 24 doc_ids) so no term — however ubiquitous — produces an
+# unbounded row: the stop-postings guard expressed as truncation instead
+# of omission. At 10^10 docs posting lists shard by term and the agg's
+# partials combine map-side.
+@_q(
+    "inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    g AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 24),
+                             ',') AS postings_head
+      FROM tok GROUP BY term)
+    SELECT term, n_docs, postings_head FROM g
+    """,
+)
+def inverted_index(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(normalized_words("text")).alias("term")
+    )
+    g = tok.groupBy("term").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    return g.select(
+        "term",
+        F.size("ids").cast("long").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice("ids", 1, 24), lambda x: x.cast("string")),
+        ).alias("postings_head"),
+    )
+
+
+# URL template mining: collapse numeric path segments to '*' and count
+# URLs per template — the structure-discovery pass a crawler runs to find
+# page-type families (and prioritize/deprioritize whole templates rather
+# than individual URLs). Set-based segment masking on both sides (list
+# transform + ^[0-9]+$ match — RE2-safe, no lookaround); then ONE hash
+# aggregate. At 10^10 URLs: pure projection + map-side-combinable count,
+# template cardinality ~ site structure, not corpus size.
+@_q(
+    "url_template_mine",
+    """
+    WITH u AS (
+      SELECT 'd' || CAST(p_partkey % 50 AS VARCHAR) || '.example.com' AS domain,
+             '/cat/' || CAST(p_partkey % 7 AS VARCHAR) || '/item/'
+             || CAST(p_partkey AS VARCHAR)
+             || CASE WHEN p_partkey % 4 = 0
+                     THEN '/p/' || CAST(p_partkey % 9 AS VARCHAR) ELSE '' END
+               AS path
+      FROM part),
+    m AS (
+      SELECT domain || '/' || array_to_string(list_transform(
+               list_filter(string_split(path, '/'), s -> s <> ''),
+               s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '*' ELSE s END),
+               '/') AS template
+      FROM u)
+    SELECT template, CAST(count(*) AS BIGINT) AS n_urls
+    FROM m GROUP BY template
+    """,
+)
+def url_template_mine(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    domain = F.concat(
+        F.lit("d"), (pk % 50).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(
+        F.lit("/cat/"), (pk % 7).cast("string"),
+        F.lit("/item/"), pk.cast("string"),
+        F.when(
+            pk % 4 == 0, F.concat(F.lit("/p/"), (pk % 9).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    masked = F.transform(
+        segs,
+        lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("*")).otherwise(s),
+    )
+    template = F.concat(domain, F.lit("/"), F.concat_ws("/", masked))
+    return (
+        p.select(template.alias("template"))
+        .groupBy("template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+# sequence packing (analytics/packing.py): the concat-and-chunk window
+# placement every pretraining pipeline computes — per-bucket prefix-sum
+# window, no global ordering, buckets = independent shards. Token count
+# proxied as n_chars DIV 4 + 1 (identical on both sides).
+@_q(
+    "sequence_pack",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars // 4 + 1 AS n_tokens,
+             CAST(doc_id % 16 AS INT) AS bucket
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d)
+    SELECT doc_id, bucket, n_tokens,
+           cum_before // 2048 AS seq_idx,
+           cum_before % 2048 AS "offset"
+    FROM c
+    """,
+)
+def sequence_pack_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.packing import sequence_pack
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", (F.expr("n_chars DIV 4") + 1).alias("n_tokens")
+    )
+    return sequence_pack(
+        docs, seq_len=2048, n_buckets=16, tokens_col="n_tokens"
+    )
+
+
 # temperature-weighted source mixing (the data-mix sampler a training
 # pipeline runs last): per-source quotas proportional to sqrt(n_docs)
 # (alpha=0.5 temperature — upweights small sources like multilingual
@@ -2901,6 +3035,7 @@ _NEWEST_FIRST = [
     # round 4
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
     "redirect_resolution", "phash_incremental", "source_mix_sample",
+    "sequence_pack", "url_template_mine", "inverted_index",
     "corpus_curation", "ann_lsh_recall", "ann_ivf_recall",
     "simhash_neardup", "tfidf_top_terms",
     "passage_dedup", "dedup_incremental", "source_quality_rollup",

@@ -63,6 +63,9 @@ HEADLINE = [
     "redirect_resolution",
     "phash_incremental",
     "source_mix_sample",
+    "sequence_pack",
+    "url_template_mine",
+    "inverted_index",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
