@@ -3025,6 +3025,190 @@ def pii_redact_q(spark, sf_dir):
     )
 
 
+# per-target anchor-text aggregation (analytics/graph.py:anchor_text_agg):
+# the web-graph description signal — modal anchor per target with a
+# lexical tie-break, counts first so the rank window sees anchor
+# vocabulary, not inlink volume. Edges synthesized from lineitem (same
+# src/dst rule as hits_scores; anchors from a 7-word vocab).
+@_q(
+    "anchor_text_agg",
+    """
+    WITH e AS (
+      SELECT CAST(l_orderkey % 3000 AS BIGINT) AS src,
+             CAST(l_partkey % 3000 AS BIGINT) AS dst,
+             (['click here','download','paper','code','home','docs',
+               'gallery'])[CAST(l_suppkey % 7 AS INT) + 1] AS anchor
+      FROM lineitem WHERE l_orderkey % 3000 <> l_partkey % 3000),
+    t AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+                 CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
+          FROM e GROUP BY dst),
+    a AS (SELECT dst, anchor, count(*) AS n_anchor FROM e GROUP BY dst, anchor),
+    r AS (SELECT dst, anchor, n_anchor,
+                 row_number() OVER (PARTITION BY dst
+                                    ORDER BY n_anchor DESC, anchor) AS rn
+          FROM a)
+    SELECT t.dst, t.n_inlinks, t.n_srcs, r.anchor AS top_anchor,
+           CAST(r.n_anchor AS BIGINT) AS top_anchor_n
+    FROM t JOIN r ON t.dst = r.dst WHERE r.rn = 1
+    """,
+)
+def anchor_text_agg_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import anchor_text_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    vocab = F.array(
+        *[
+            F.lit(s)
+            for s in (
+                "click here", "download", "paper", "code", "home", "docs",
+                "gallery",
+            )
+        ]
+    )
+    edges = li.select(
+        (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+        (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        F.element_at(vocab, (F.col("l_suppkey") % 7).cast("int") + 1).alias(
+            "anchor"
+        ),
+    ).filter("src <> dst")
+    return anchor_text_agg(edges)
+
+
+# cross-document n-gram novelty (analytics/text.py:ngram_novelty): the
+# corpus-wide complement of doc_repetition — share of a doc's distinct
+# trigrams with document frequency 1 (n=3: bigrams are near-saturated in
+# any templated corpus; trigrams discriminate — 476/500 docs nonzero at
+# sf0.01 vs 10/500 for bigrams). Reuses the shingle pipeline, so the
+# oracle reuses the same range-based gram rule.
+@_q(
+    "ngram_novelty",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                     i -> w[i] || ' ' || w[i+1] || ' '
+                                          || w[i+2])) AS shingle
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents))),
+    df AS (SELECT shingle, count(*) AS df FROM g GROUP BY shingle)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 4) AS novelty
+    FROM g JOIN df USING (shingle) GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# size-balanced shard assignment (analytics/packing.py:shard_assign):
+# band-stratified round-robin — equal doc counts per size class per
+# shard with NO global sort; window parallelism = bands x salts.
+@_q(
+    "shard_assign",
+    """
+    WITH d AS (SELECT doc_id, CAST(n_chars // 4 + 1 AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS band,
+                 CAST(doc_id % 4 AS INT) AS salt
+          FROM d),
+    r AS (SELECT doc_id, n_tokens, band, salt,
+                 row_number() OVER (PARTITION BY band, salt
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM b)
+    SELECT doc_id, n_tokens, band,
+           CAST((rn - 1 + salt) % 8 AS INT) AS shard
+    FROM r
+    """,
+)
+def shard_assign_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.packing import shard_assign
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", (F.expr("n_chars DIV 4") + 1).alias("n_tokens")
+    )
+    return shard_assign(
+        docs, n_shards=8, band_width=32, n_salts=4
+    )
+
+
+# aspect-ratio bucketing (analytics/multimodal.py:aspect_bucket): the
+# variable-aspect training batcher's curation stamp. Image dims
+# synthesized deterministically from part; the oracle re-derives the
+# argmin by unnesting the same constant bucket table.
+@_q(
+    "aspect_bucket",
+    """
+    WITH img AS (
+      SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+             CAST(64 + (p_partkey * 37) % 1920 AS INT) AS w,
+             CAST(64 + (p_partkey * 53) % 1080 AS INT) AS h
+      FROM part),
+    cand AS (
+      SELECT img.image_id, img.w, img.h, b.bucket, b.center, b.tw, b.th,
+             abs((1000 * CAST(img.w AS BIGINT)) // img.h - b.center) AS d
+      FROM img CROSS JOIN (VALUES ('1:2', 500, 384, 768),
+                                  ('3:4', 750, 448, 576),
+                                  ('1:1', 1000, 512, 512),
+                                  ('4:3', 1333, 576, 448),
+                                  ('2:1', 2000, 768, 384))
+                 b(bucket, center, tw, th)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY image_id
+                                       ORDER BY d, center) AS rn
+          FROM cand)
+    SELECT image_id, w, h, bucket, CAST(center AS INT) AS ratio_milli,
+           CAST(tw AS INT) AS target_w, CAST(th AS INT) AS target_h
+    FROM r WHERE rn = 1
+    """,
+)
+def aspect_bucket_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.multimodal import (
+        aspect_bucket,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    img = p.select(
+        F.concat(F.lit("img"), pk.cast("string")).alias("image_id"),
+        (64 + (pk * 37) % 1920).cast("int").alias("w"),
+        (64 + (pk * 53) % 1080).cast("int").alias("h"),
+    )
+    return aspect_bucket(img)
+
+
+# out-of-vocabulary rate (analytics/text.py:oov_rate): tokenizer-coverage
+# QA vs the corpus top-16 vocab (synthetic corpus has only 31 distinct
+# tokens — 100 would make OOV degenerate-zero); TakeOrderedAndProject + broadcast
+# membership join — the token stream never shuffles for the lookup.
+@_q(
+    "oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 16)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def oov_rate_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_size=16)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3033,6 +3217,8 @@ def pii_redact_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "anchor_text_agg", "ngram_novelty", "shard_assign", "aspect_bucket",
+    "oov_rate",
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",
     "redirect_resolution", "phash_incremental", "source_mix_sample",
     "sequence_pack", "url_template_mine", "inverted_index",

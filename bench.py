@@ -66,6 +66,11 @@ HEADLINE = [
     "sequence_pack",
     "url_template_mine",
     "inverted_index",
+    "anchor_text_agg",
+    "ngram_novelty",
+    "shard_assign",
+    "aspect_bucket",
+    "oov_rate",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -32,7 +32,7 @@ Scale notes (the 10^10-edge question):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,48 @@ def hits(
     by_dst.unpersist()
     nodes.unpersist()
     return out
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-graph signal.
+
+    Search and curation pipelines describe a page by the anchor text of
+    its inlinks (the reference never aggregates links at all — it walks
+    one listing site). For every ``dst``: total inlinks, distinct
+    sources, and the modal anchor string (ties broken lexicographically
+    so the result is engine-invariant).
+
+    Scale design: two hash aggregates on dst-derived keys plus one
+    WindowGroupLimit. The per-(dst, anchor) count happens FIRST, so the
+    rank window sees at most |distinct anchors per dst| rows — bounded by
+    site vocabulary, not inlink count; a hub with 10^8 inlinks ranks a
+    handful of rows. The literal ``rn <= 1`` conjunct plants a map-side
+    Partial WindowGroupLimit below the exchange (same plan shape as
+    operators/politeness.py's admission window).
+    """
+    dst = F.col(dst_col)
+    totals = edges.groupBy(dst.alias("dst")).agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct(src_col).alias("n_srcs"),
+    )
+    per_anchor = edges.groupBy(
+        dst.alias("dst"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count("*").alias("n_anchor"))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_anchor").desc(), F.col("anchor")
+    )
+    top = (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1)
+        .select(
+            "dst",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n_anchor").alias("top_anchor_n"),
+        )
+    )
+    return totals.join(top, "dst")

@@ -59,3 +59,64 @@ def pair_gates(
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+#: (bucket label, ratio in milli-units = 1000*w/h, target_w, target_h).
+#: Targets are hand-picked multiples of 64 near a 512x512 pixel budget —
+#: the SDXL-style bucket table; constants (not computed) so the engine and
+#: any independent oracle agree bit-for-bit with zero float arithmetic.
+ASPECT_BUCKETS: list[tuple[str, int, int, int]] = [
+    ("1:2", 500, 384, 768),
+    ("3:4", 750, 448, 576),
+    ("1:1", 1000, 512, 512),
+    ("4:3", 1333, 576, 448),
+    ("2:1", 2000, 768, 384),
+]
+
+
+def aspect_bucket(
+    images: DataFrame,
+    buckets: list[tuple[str, int, int, int]] | None = None,
+) -> DataFrame:
+    """Assign each image the nearest aspect-ratio training bucket.
+
+    Variable-aspect training (SDXL / NaViT style) batches images of like
+    aspect together and resizes to a per-bucket target resolution; the
+    curation pass must therefore stamp every image with its bucket and
+    target dims. Nearest bucket = min |1000*w/h - bucket_milli| in
+    integer milli-ratio space, ties to the SMALLER ratio — all integer,
+    so no float boundary can flip an assignment between engines.
+
+    Scale design: pure projection over metadata columns (bytes never
+    read), zero shuffles, whole-stage codegen. The argmin is an
+    ``array_min`` over a 5-element literal struct array — struct
+    ordering compares (distance, ratio) lexicographically, encoding the
+    tie-break for free; no join, no UDF.
+    """
+    bks = ASPECT_BUCKETS if buckets is None else buckets
+    # integer floor-division (DIV), never double-divide-then-cast: a
+    # correctly-rounded double quotient a hair under an integer can round
+    # UP to it and flip the truncation vs an exact integer oracle
+    rm = F.expr("(1000 * CAST(w AS BIGINT)) DIV h")
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(rm - F.lit(c)).alias("d"),
+                F.lit(c).alias("ratio_milli"),
+                F.lit(name).alias("bucket"),
+                F.lit(tw).alias("target_w"),
+                F.lit(th).alias("target_h"),
+            )
+            for (name, c, tw, th) in bks
+        ]
+    )
+    best = F.array_min(cands)
+    return images.select(
+        "image_id",
+        "w",
+        "h",
+        best["bucket"].alias("bucket"),
+        best["ratio_milli"].cast("int").alias("ratio_milli"),
+        best["target_w"].alias("target_w"),
+        best["target_h"].alias("target_h"),
+    )

@@ -58,3 +58,57 @@ def sequence_pack(
         F.floor(cum_before / seq_len).cast("long").alias("seq_idx"),
         (cum_before % seq_len).cast("long").alias("offset"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 64,
+    band_width: int = 512,
+    n_salts: int = 64,
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic size-balanced output-shard assignment.
+
+    Writing a curated corpus as N shards wants near-equal bytes per
+    shard (training readers stream shards whole; a fat shard is a
+    straggler for every epoch). Plain ``hash(key) % N`` balances counts,
+    not bytes — a handful of mega-documents skews it. This operator
+    band-stratifies by size then round-robins each stratum over the
+    shards: every shard receives (within one) the same NUMBER of docs
+    from every size class, so per-shard bytes are balanced to band
+    granularity with no global sort.
+
+    Scale design: the obvious rank-all-docs-by-size window is ONE global
+    partition — serial at any scale. Bands alone don't fix it (band
+    cardinality is dozens), so each band is salted into ``n_salts``
+    sub-groups by a key-derived (hence deterministic) salt: the window
+    runs per (band, salt) — parallelism = bands x salts, each group
+    corpus/(bands*salts) rows. The round-robin start is offset by the
+    salt so partially-filled final cycles don't all favor shard 0.
+    """
+    key = F.col(key_col)
+    band = F.expr(
+        f"CAST({tokens_col} AS BIGINT) DIV {int(band_width)}"
+    )  # integer DIV — no double-divide-then-cast boundary risk
+    salt = (key % n_salts).cast("int")
+    w = Window.partitionBy("band", "salt").orderBy(
+        F.md5(key.cast("string")), key
+    )
+    return (
+        docs.select(
+            key.alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            band.alias("band"),
+            salt.alias("salt"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "band",
+            ((F.col("rn") - 1 + F.col("salt")) % n_shards)
+            .cast("int")
+            .alias("shard"),
+        )
+    )

@@ -180,3 +180,95 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 2,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's distinct
+    n-grams appear in NO other document (document frequency == 1).
+
+    The cross-document counterpart of repetition_stats' within-doc
+    signal: boilerplate-heavy pages score near 0, genuinely novel text
+    near 1 — a standard pretraining-corpus quality axis that a per-doc
+    pass cannot compute (it needs the corpus-wide df table).
+
+    Scale design: reuses dedup.shingle_df (distinct (doc, gram) pairs —
+    the CSE-in-lambda and sequence(1,0) traps handled once there), then
+    ONE gram-keyed aggregate for df and ONE gram-keyed join back — the
+    same key, so AQE plans them as one co-partitioned stage; ubiquitous
+    grams skew the join's build rows but carry a 1-row df side, which
+    AQE's skew-join split handles without a salt. Final doc-keyed
+    aggregate is map-side combinable. Docs with < n words have no grams
+    and are absent on both engine and oracle sides (pinned semantics).
+    """
+    from .dedup import shingle_df
+
+    pairs = shingle_df(docs, n=n, key_col=key_col)
+    df_tab = pairs.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        pairs.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-K vocab.
+
+    Tokenizer-coverage QA: fix the vocabulary to the corpus's ``vocab_size``
+    most frequent tokens (ties at the cut broken lexically, so the vocab —
+    and hence every rate — is engine-invariant), then score each document
+    by the share of its token OCCURRENCES outside that vocabulary.
+
+    Scale design: the token-count aggregate is map-side combinable; the
+    top-K is ``orderBy().limit(K)`` = TakeOrderedAndProject (per-partition
+    heaps + driver merge of K rows — no global sort); the vocab is
+    broadcast so the membership join never shuffles the token stream; the
+    final doc aggregate combines map-side. Vocab size is a constant, so
+    the broadcast is bytes regardless of corpus scale.
+    """
+    from .dedup import normalized_words
+
+    tok = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

@@ -96,11 +96,27 @@ def fetch_batch(
         "priority", "depth", "scheduled_offset_s",
     ]
 
+    import os as _os_emit
+
+    # Emit in SMALL chunks, not one batch-sized lump: a 10k-row input batch
+    # holds every fetched payload (~hundreds of MB) in Python lists before a
+    # single byte reaches the JVM, so the Arrow hop and the parquet writer
+    # sit idle while Python fetches, then Python sits idle while one giant
+    # batch converts — lumpy allocations on BOTH sides of the boundary.
+    # Chunked yields stream payloads into the concurrent output writers
+    # (crawl.py's landing write) while the NEXT chunk fetches, and bound
+    # per-worker buffered payload to chunk_rows x payload_size.
+    emit_rows = max(
+        16, int(_os_emit.environ.get("SPARK_GRAFT_FETCH_EMIT_ROWS", "256"))
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .validate import validate_payload_row
 
         fetch = fetch_session_factory()  # once per task (U3)
-        for pdf in batches:
+        for full_pdf in batches:
+          for _start in range(0, max(len(full_pdf), 1), emit_rows):
+            pdf = full_pdf.iloc[_start : _start + emit_rows]
             out = {c: [] for c in (*cols, "status", "attempts", "image_id", "bytes",
                                    "w", "h", "fmt", "caption", "phash", "valid")}
             for row in pdf.itertuples(index=False):
