@@ -96,3 +96,32 @@ def test_oov_rate_vocab_cut_tiebreak(spark):
     out = {r["doc_id"]: r for r in oov_rate(docs, vocab_size=2).collect()}
     assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
     assert out[2]["n_oov"] == 1 and abs(out[2]["oov_rate"] - 0.3333) < 1e-9
+
+
+def test_fetch_chunked_emit_one_row_per_input(spark, monkeypatch):
+    # chunked Arrow emit must preserve the one-row-per-input contract
+    # exactly, across chunk boundaries (737 % 64 != 0 on purpose)
+    import pyspark.sql.functions as F
+
+    from etherscan_contract_crawler_spark.operators.fetch import fetch_batch
+
+    monkeypatch.setenv("SPARK_GRAFT_FETCH_EMIT_ROWS", "64")
+    n = 737
+    scheduled = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"),
+        F.concat(F.lit("https://d"), (F.col("id") % 9).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("https://d"), (F.col("id") % 9).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url_canon"),
+        F.concat(F.lit("d"), (F.col("id") % 9).cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        (F.col("id") % 97).cast("int").alias("domain_hash"),
+        F.lit(1.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("scheduled_offset_s"),
+        (F.col("id") % 5).cast("int").alias("fetch_slot"),
+    )
+    out = fetch_batch(scheduled).select("url_sha1", "status").cache()
+    assert out.count() == n
+    assert out.select("url_sha1").distinct().count() == n
+    out.unpersist()
