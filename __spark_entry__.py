@@ -3209,6 +3209,236 @@ def oov_rate_q(spark, sf_dir):
     return oov_rate(_t(spark, sf_dir, "documents"), vocab_size=16)
 
 
+# Sitemap ingest (sources/sitemap.py): the structured discovery feed a
+# web-scale crawler runs beside the listing scan (reference's fetch_all,
+# contract_crawler.py:316-325). Per-domain <urlset> XML is synthesized
+# identically on both sides (string_agg ORDER BY pk == array_sort of
+# (pk, entry) structs), then parsed back with regexp_extract_all + explode
+# — JVM-built-ins only, zero shuffles after the build, and the per-row
+# work is protocol-bounded (50k URLs / 50 MB per sitemap file). Every 5th
+# entry omits <priority> to exercise the spec's 0.5 default on both sides.
+#: shared CTE prefix: e = per-URL entries, sm = per-domain XML docs
+_SITEMAP_CTE = """
+    e AS (
+      SELECT CAST(p_partkey % 40 AS INT) AS dom, p_partkey AS pk,
+             '<url><loc>https://d' || CAST(p_partkey % 40 AS VARCHAR)
+             || '.example.com/p/' || CAST(p_partkey AS VARCHAR)
+             || '</loc><lastmod>2026-'
+             || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+             || '</lastmod>'
+             || CASE WHEN p_partkey % 5 <> 0
+                     THEN '<priority>0.' || CAST(p_partkey % 10 AS VARCHAR)
+                          || '</priority>'
+                     ELSE '' END
+             || '</url>' AS entry
+      FROM part),
+    sm AS (
+      SELECT 'https://d' || CAST(dom AS VARCHAR)
+               || '.example.com/sitemap.xml' AS sitemap_url,
+             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               || string_agg(entry, '' ORDER BY pk) || '</urlset>' AS xml
+      FROM e GROUP BY dom),
+    b AS (
+      SELECT sitemap_url,
+             unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS block
+      FROM sm),
+    ent AS (
+      SELECT sitemap_url,
+             regexp_extract(block, '<loc>(.*?)</loc>', 1) AS loc,
+             nullif(regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1), '')
+               AS lastmod,
+             CASE WHEN block LIKE '%<priority>%'
+                  THEN CAST(regexp_extract(
+                         block, '<priority>(.*?)</priority>', 1)
+                       AS DOUBLE)
+                  ELSE 0.5 END AS priority
+      FROM b)
+"""
+
+ORACLES["sitemap_ingest"] = f"""
+    WITH {_SITEMAP_CTE}
+    SELECT sitemap_url, loc, lastmod, round(priority, 4) AS priority
+    FROM ent
+    """
+
+
+def _sitemap_docs(spark, sf_dir):
+    """Shared synth: one <urlset> XML document per domain, from part.
+    Entry order inside a document is pk ASC on both engines (array_sort of
+    (pk, entry) structs == string_agg ORDER BY pk)."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    dom = (pk % 40).cast("int")
+    entry = F.concat(
+        F.lit("<url><loc>https://d"), dom.cast("string"),
+        F.lit(".example.com/p/"), pk.cast("string"),
+        F.lit("</loc><lastmod>2026-"),
+        F.lpad((pk % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((pk % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+        F.when(
+            pk % 5 != 0,
+            F.concat(F.lit("<priority>0."), (pk % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    return (
+        p.select(dom.alias("dom"), pk.alias("pk"), entry.alias("entry"))
+        .groupBy("dom")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pk", "entry"))),
+                    lambda s: s["entry"],
+                ),
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("https://d"), F.col("dom").cast("string"),
+                F.lit(".example.com/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.col("body"), F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+
+
+@_q("sitemap_ingest")
+def sitemap_ingest(spark, sf_dir):
+    from etherscan_contract_crawler_spark.sources.sitemap import (
+        parse_sitemap_entries,
+    )
+
+    ent = parse_sitemap_entries(_sitemap_docs(spark, sf_dir))
+    return ent.select(
+        "sitemap_url", "loc", "lastmod",
+        F.round("priority", 4).alias("priority"),
+    )
+
+
+# frontier_refill — the crawl-side INTEGRATION flagship (the analogue of
+# corpus_curation on the curation side): sitemap discovery (parse stage
+# above) -> candidate frontier -> anti-join vs the url-seen set (J1,
+# operators/dedup.py:anti_join_seen) -> per-domain priority ranking with a
+# per-domain budget cap (domain_budget semantics) -> fetch-slot assignment.
+# The per-stage oracles can't see key/alias drift BETWEEN these stages;
+# this one pins the whole chain. The literal rn <= 5 conjunct keeps the
+# map-side Partial WindowGroupLimit below the exchange (the same plan shape
+# crawl_schedule_epoch pins); the variable budget applies after it.
+@_q(
+    "frontier_refill",
+    f"""
+    WITH {_SITEMAP_CTE},
+    cand AS (
+      SELECT loc AS url,
+             regexp_extract(loc, '^https://([^/]+)/', 1) AS domain,
+             priority
+      FROM ent),
+    seen AS (
+      SELECT DISTINCT
+             'https://d' || CAST((o_orderkey % 700 + 1) % 40 AS VARCHAR)
+             || '.example.com/p/' || CAST(o_orderkey % 700 + 1 AS VARCHAR)
+               AS url
+      FROM orders),
+    fr AS (
+      SELECT c.url, c.domain, c.priority
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE md5(s.url) = md5(c.url))),
+    r AS (
+      SELECT url, domain, priority,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY priority DESC, url) AS rn
+      FROM fr)
+    SELECT url, domain, round(priority, 4) AS priority,
+           CAST(rn AS INT) AS rn, CAST(rn - 1 AS INT) AS fetch_slot
+    FROM r
+    WHERE rn <= 5
+      AND rn <= CASE WHEN CAST(regexp_extract(domain, '^d([0-9]+)', 1)
+                          AS INT) % 7 = 0
+                     THEN 2 ELSE 5 END
+    """,
+)
+def frontier_refill(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.dedup import anti_join_seen
+    from etherscan_contract_crawler_spark.sources.sitemap import (
+        parse_sitemap_entries,
+    )
+
+    ent = parse_sitemap_entries(_sitemap_docs(spark, sf_dir))
+    cand = ent.select(
+        F.col("loc").alias("url"),
+        F.regexp_extract("loc", "^https://([^/]+)/", 1).alias("domain"),
+        "priority",
+    ).withColumn("url_sha1", F.md5("url"))
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 700 + 1
+    seen = o.select(
+        F.md5(
+            F.concat(
+                F.lit("https://d"), (k % 40).cast("string"),
+                F.lit(".example.com/p/"), k.cast("string"),
+            )
+        ).alias("url_sha1")
+    ).distinct()
+    fr = anti_join_seen(cand, seen)
+    rn = F.row_number().over(
+        Window.partitionBy("domain").orderBy(F.desc("priority"), "url")
+    )
+    budget = F.when(
+        F.regexp_extract("domain", "^d([0-9]+)", 1).cast("int") % 7 == 0,
+        F.lit(2),
+    ).otherwise(F.lit(5))
+    return (
+        fr.select("url", "domain", "priority", rn.alias("rn"))
+        .where((F.col("rn") <= 5) & (F.col("rn") <= budget))
+        .select(
+            "url", "domain",
+            F.round("priority", 4).alias("priority"),
+            F.col("rn").cast("int").alias("rn"),
+            (F.col("rn") - 1).cast("int").alias("fetch_slot"),
+        )
+    )
+
+
+# Cross-source duplication matrix (analytics/dedup.py:cross_source_overlap):
+# which sources mirror which — the rollup a mix designer runs before
+# weighting sources. Content key is pluggable (checksum / minhash band in
+# production); here a deterministic (lang, length-bucket) key so the
+# synthetic corpus actually overlaps. One distinct + self-equi-join on the
+# key; output bounded by |sources|^2 regardless of corpus size.
+@_q(
+    "source_overlap",
+    """
+    WITH d AS (
+      SELECT DISTINCT lang || '|' || CAST(n_chars // 8 AS VARCHAR) AS ck,
+             source AS src
+      FROM documents)
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_keys
+    FROM d a JOIN d b ON a.ck = b.ck AND a.src < b.src
+    GROUP BY a.src, b.src
+    """,
+)
+def source_overlap(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        cross_source_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(
+        F.col("lang"), F.lit("|"),
+        F.expr("n_chars DIV 8").cast("string"),
+    )
+    return cross_source_overlap(d, key)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3217,6 +3447,7 @@ def oov_rate_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "sitemap_ingest", "frontier_refill", "source_overlap",
     "anchor_text_agg", "ngram_novelty", "shard_assign", "aspect_bucket",
     "oov_rate",
     "pii_detect", "pii_redact", "multimodal_gate", "image_dedup_keep",

@@ -403,3 +403,37 @@ def simhash(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    key,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (a < b), how many content keys appear in BOTH sources.
+
+    ``key`` is the pluggable content identity — in production the landing
+    checksum (functions/urls.py sha1 path) or a MinHash band; the curation
+    question it answers is "which sources mirror which", the rollup every
+    mix designer runs before weighting sources (source_mix_sample).
+
+    Scale shape: ONE distinct on (key, source) — a hash aggregate whose
+    cardinality is bounded by docs — then a self-equi-join on the key.
+    Both sides of the join inherit the distinct's hash-partitioning on the
+    key, so AQE plans it shuffle-free; the output is |sources|² rows at
+    most, driver-safe however large the corpus. Hot keys (boilerplate
+    shared by every source) fan out as |sources|² per key, bounded by the
+    matrix size itself, not the corpus.
+    """
+    d = docs.select(key.alias("ck"), F.col(source_col).alias("src")).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.ck") == F.col("b.ck"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_keys"))
+    )
