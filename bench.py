@@ -71,6 +71,14 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "sitemap_ingest",
+    "frontier_refill",
+    "source_overlap",
+    "url_canonicalize",
+    "rss_ingest",
+    "cache_policy_revisit",
+    "sitemap_diff",
+    "hard_negative_mine",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

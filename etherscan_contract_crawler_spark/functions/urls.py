@@ -35,9 +35,20 @@ def url_strip_fragment(url: Column) -> Column:
     return F.substring_index(url, "#", 1)
 
 
-def canonicalize_url(url: Column | str) -> Column:
+#: session/click-tracking query parameters that never change the resource —
+#: the standard crawl-dedup strip list (utm_* per Google's campaign spec,
+#: plus the big ad/analytics click ids). Anchored key match only: a param
+#: VALUE containing "utm_" is untouched.
+TRACKING_PARAMS_RE = (
+    r"(?i)^(utm_[a-z0-9]+|gclid|fbclid|msclkid|yclid|mc_eid|igshid|spm|_ga)="
+)
+
+
+def canonicalize_url(url: Column | str, drop_tracking: bool = False) -> Column:
     """Canonical URL: lowercase scheme+host, strip fragment & default port,
-    drop trailing '/' on bare hosts, sort query parameters.
+    drop trailing '/' on bare hosts, sort query parameters; with
+    ``drop_tracking`` also shed session/campaign params (utm_*, gclid, ...)
+    so the same resource under N campaign links folds to ONE frontier key.
 
     Spark-first analog of the reference's ad-hoc ``.lower()`` calls
     (contract_crawler.py:362) extended to full URLs. Built entirely from
@@ -54,9 +65,12 @@ def canonicalize_url(url: Column | str) -> Column:
     path = F.parse_url(u, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     query = F.parse_url(u, F.lit("QUERY"))
+    params = F.split(query, "&")
+    if drop_tracking:
+        params = F.filter(params, lambda p: ~p.rlike(TRACKING_PARAMS_RE))
     sorted_query = F.when(
-        query.isNull() | (query == ""), F.lit("")
-    ).otherwise(F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(query, "&")), "&")))
+        query.isNull() | (query == "") | (F.size(params) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.sort_array(params), "&")))
     return F.concat(proto, F.lit("://"), host, path, sorted_query)
 
 

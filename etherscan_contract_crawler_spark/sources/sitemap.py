@@ -115,6 +115,73 @@ def expand_sitemap_index(
     )
 
 
+#: RFC 9309 §2.3 / sitemaps.org: "Sitemap:" is a group-independent robots
+#: directive, matched case-insensitively anywhere in the file
+_ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"
+
+
+def robots_sitemap_directives(
+    robots: DataFrame,
+    body_col: str = "body",
+    keep_cols: tuple[str, ...] = ("domain",),
+) -> DataFrame:
+    """One row per ``Sitemap:`` directive found in a robots.txt body:
+    (keep_cols..., sitemap_url). This is where sitemap DISCOVERY starts —
+    the crawler already fetches robots.txt per domain for the politeness
+    dim (operators/robots.py acquire_robots); the same bodies, run through
+    this projection, seed :func:`expand_sitemap_index` /
+    :func:`parse_sitemap_entries` with zero extra fetches.
+
+    The directive is group-independent (valid anywhere in the file, any
+    case, per sitemaps.org and RFC 9309 §2.3), hence one multiline
+    case-insensitive lift instead of the user-agent group-tracking parse
+    that Disallow needs. Pure codegen projection: regexp_extract_all +
+    explode, no UDF, no shuffle.
+    """
+    urls = F.regexp_extract_all(F.col(body_col), F.lit(_ROBOTS_SITEMAP_RE), 1)
+    return robots.select(*keep_cols, F.explode(urls).alias("sitemap_url"))
+
+
+def sitemap_diff(
+    old_entries: DataFrame,
+    new_entries: DataFrame,
+    key_col: str = "loc",
+    cmp_col: str = "lastmod",
+) -> DataFrame:
+    """Snapshot-over-snapshot sitemap delta: one row per URL whose state
+    changed between two parses of the same sitemap universe —
+    ``(loc, change 'added'|'removed'|'changed', old_lastmod, new_lastmod)``.
+    Unchanged URLs (same loc, null-safe-equal ``cmp_col``) are dropped:
+    the output feeds the recrawl frontier, and unchanged is the no-op lane.
+
+    This is the polling crawler's cheapest change feed: two sitemap fetches
+    per domain bound the whole diff, however large the site. Shape: ONE
+    full-outer hash join on the URL key — both sides pre-projected to
+    (key, cmp), co-partitioned by the join itself; no window, no second
+    exchange. At 10^10 URLs the join keys are the sitemap universe, already
+    orders of magnitude under the crawl log.
+    """
+    o = old_entries.select(F.col(key_col).alias("_k"),
+                           F.col(cmp_col).alias("old_" + cmp_col))
+    n = new_entries.select(F.col(key_col).alias("_k"),
+                           F.col(cmp_col).alias("new_" + cmp_col))
+    oc, nc = F.col("old_" + cmp_col), F.col("new_" + cmp_col)
+    # presence flags survive the outer join even when cmp_col is NULL
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~oc.eqNullSafe(nc), F.lit("changed"))
+    )
+    return (
+        o.join(n, on="_k", how="full_outer")
+        .select(F.col("_k").alias(key_col), change.alias("change"),
+                "old_" + cmp_col, "new_" + cmp_col)
+        .where(F.col("change").isNotNull())
+    )
+
+
 def sitemap_to_frontier(entries: DataFrame) -> DataFrame:
     """Project parsed entries to frontier-seed shape: (url, priority, depth).
 

@@ -104,3 +104,37 @@ def test_frontier_refill_plan_has_group_limit(spark, tmp_path):
     assert "LeftAnti" in plan, plan[:2000]
     rows = df.limit(5).collect()
     assert all(r["fetch_slot"] == r["rn"] - 1 for r in rows)
+
+
+def test_sitemap_diff_nullsafe(spark):
+    from etherscan_contract_crawler_spark.sources.sitemap import sitemap_diff
+
+    old = spark.createDataFrame(
+        [
+            ("u/stay", "2026-01-01"),
+            ("u/changed", "2026-01-01"),
+            ("u/removed", "2026-01-01"),
+            ("u/null-both", None),          # NULL == NULL -> unchanged
+            ("u/null-to-val", None),        # NULL -> value = changed
+        ],
+        "loc string, lastmod string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u/stay", "2026-01-01"),
+            ("u/changed", "2026-02-02"),
+            ("u/added", "2026-03-03"),
+            ("u/null-both", None),
+            ("u/null-to-val", "2026-01-05"),
+        ],
+        "loc string, lastmod string",
+    )
+    got = {r["loc"]: r for r in sitemap_diff(old, new).collect()}
+    # unchanged rows (incl. the NULL<=>NULL pair) never surface
+    assert set(got) == {"u/changed", "u/removed", "u/added", "u/null-to-val"}
+    assert got["u/changed"]["change"] == "changed"
+    assert got["u/removed"]["change"] == "removed"
+    assert got["u/removed"]["new_lastmod"] is None
+    assert got["u/added"]["change"] == "added"
+    assert got["u/added"]["old_lastmod"] is None
+    assert got["u/null-to-val"]["change"] == "changed"
