@@ -418,22 +418,36 @@ def cross_source_overlap(
     question it answers is "which sources mirror which", the rollup every
     mix designer runs before weighting sources (source_mix_sample).
 
-    Scale shape: ONE distinct on (key, source) — a hash aggregate whose
-    cardinality is bounded by docs — then a self-equi-join on the key.
-    Both sides of the join inherit the distinct's hash-partitioning on the
-    key, so AQE plans it shuffle-free; the output is |sources|² rows at
-    most, driver-safe however large the corpus. Hot keys (boilerplate
-    shared by every source) fan out as |sources|² per key, bounded by the
-    matrix size itself, not the corpus.
+    Scale shape — NO join: a distinct self-join re-evaluates the distinct
+    subtree on both sides and (past broadcast size) re-shuffles on the key
+    alone, so the first cut of this operator cost 4 exchanges and
+    broadcast a corpus-sized set. Instead: ONE hash aggregate
+    ``groupBy(key) -> collect_set(source)`` (map-side partials dedup
+    before the shuffle, and each value is bounded by |sources|, never the
+    corpus), pair-explode the sorted set per key (≤ |sources|²/2 rows per
+    key — matrix-sized, skew-proof by construction), then the final
+    |sources|²-bounded pair count. Two exchanges total; the second
+    carries at most |sources|² × partitions rows.
     """
-    d = docs.select(key.alias("ck"), F.col(source_col).alias("src")).distinct()
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, (F.col("a.ck") == F.col("b.ck"))
-               & (F.col("a.src") < F.col("b.src")))
-        .groupBy(
-            F.col("a.src").alias("source_a"),
-            F.col("b.src").alias("source_b"),
+    srcs = F.sort_array(F.collect_set(F.col(source_col)))
+    per_key = docs.select(key.alias("ck"), F.col(source_col)).groupBy("ck").agg(
+        srcs.alias("srcs")
+    )
+    # ordered pairs (a < b) straight off the sorted set; `srcs` is a
+    # materialized column here, so the per-element slice re-reads an array,
+    # not a recomputed expression (the CSE-in-lambda trap doesn't apply)
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
         )
+    )
+    return (
+        per_key.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("long").alias("n_shared_keys"))
     )
