@@ -3790,6 +3790,66 @@ def hard_negative_mine(spark, sf_dir):
     )
 
 
+# Within-domain line-level boilerplate removal (analytics/text.py
+# boilerplate_strip): the CCNet/RefinedWeb preprocessing step — a line on
+# >= 60% of a domain's pages is template chrome, stripped from every page.
+# Distinct from passage_dedup (corpus-global verbatim passages): here the
+# key is (domain, line) and thresholds are per-domain fractions. Synth
+# wraps each doc in a shared nav+footer per domain; domain d6's wrapper is
+# per-page unique, so it must come through untouched — the oracle derives
+# both outcomes CLOSED-FORM, so the engine's df-threshold logic is checked
+# against ground truth, not a second implementation.
+@_q(
+    "boilerplate_strip",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS m, text,
+             CASE WHEN doc_id % 7 = 6
+                  THEN 'NAV page ' || CAST(doc_id AS VARCHAR)
+                  ELSE 'NAV d' || CAST(doc_id % 7 AS VARCHAR)
+                       || ' home about products' END AS nav,
+             CASE WHEN doc_id % 7 = 6
+                  THEN 'PAGE ' || CAST(doc_id AS VARCHAR) || ' footer'
+                  ELSE 'COPYRIGHT 2026 d' || CAST(doc_id % 7 AS VARCHAR)
+                       || ' all rights reserved' END AS footer
+      FROM documents)
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_lines,
+           CAST(CASE WHEN m = 6 THEN 0 ELSE 2 END AS BIGINT)
+             AS n_boiler_lines,
+           CASE WHEN m = 6 THEN nav || chr(10) || text || chr(10) || footer
+                ELSE text END AS kept_text
+    FROM p
+    """,
+)
+def boilerplate_strip_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        boilerplate_strip,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    nav = F.when(
+        m == 6, F.concat(F.lit("NAV page "), F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("NAV d"), m.cast("string"),
+                 F.lit(" home about products"))
+    )
+    footer = F.when(
+        m == 6,
+        F.concat(F.lit("PAGE "), F.col("doc_id").cast("string"),
+                 F.lit(" footer")),
+    ).otherwise(
+        F.concat(F.lit("COPYRIGHT 2026 d"), m.cast("string"),
+                 F.lit(" all rights reserved"))
+    )
+    pages = doc.select(
+        "doc_id",
+        F.concat(F.lit("d"), m.cast("string")).alias("domain"),
+        F.concat_ws("\n", nav, F.col("text"), footer).alias("text"),
+    )
+    return boilerplate_strip(pages, min_frac=0.6, min_pages=3)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3798,7 +3858,7 @@ def hard_negative_mine(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "sitemap_diff", "hard_negative_mine",
+    "boilerplate_strip", "sitemap_diff", "hard_negative_mine",
     "url_canonicalize", "robots_sitemaps", "rss_ingest",
     "cache_policy_revisit",
     "sitemap_ingest", "frontier_refill", "source_overlap",

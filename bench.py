@@ -79,6 +79,7 @@ HEADLINE = [
     "cache_policy_revisit",
     "sitemap_diff",
     "hard_negative_mine",
+    "boilerplate_strip",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

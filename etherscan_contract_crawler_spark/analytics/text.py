@@ -272,3 +272,69 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.6,
+    min_pages: int = 3,
+) -> DataFrame:
+    """Within-domain line-level boilerplate removal (the CCNet/RefinedWeb
+    preprocessing step): a line that appears on >= ``min_frac`` of a
+    domain's pages is template chrome (nav bars, footers, cookie banners),
+    not content — drop it from every page and reassemble the survivors in
+    original line order. Domains with fewer than ``min_pages`` pages are
+    left untouched (no statistical basis to call anything a template).
+
+    This is deliberately NOT :func:`~..analytics.dedup.passage_dedup`:
+    that one drops verbatim passages duplicated ACROSS the corpus; this
+    one is keyed by (domain, line) — the shuffle key is domain-local, the
+    thresholds are per-domain fractions, and a line that is common on one
+    site but unique corpus-wide is still stripped.
+
+    Shape: posexplode the line split (per-row work bounded by page size),
+    ONE hash agg on (domain, line) for line document-frequency (map-side
+    partials collapse each page's repeats), a tiny per-domain page count
+    broadcast onto it, a left join marking template lines — AQE broadcasts
+    the template set when it is small, falls back to the co-partitioned
+    shuffle join when a giant domain makes it big — and ONE per-doc agg
+    computing count, boiler count, and the in-order reassembly together
+    (collect_list skips the NULLed template rows).
+
+    Output: (key_col, n_lines, n_boiler_lines, kept_text).
+    """
+    k, d = F.col(key_col), F.col(domain_col)
+    lines = docs.select(
+        k.alias("_k"), d.alias("_d"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    )
+    pages = docs.groupBy(d.alias("_d")).agg(
+        F.count_distinct(k).alias("_n_pages")
+    )
+    boiler = (
+        lines.groupBy("_d", "_line")
+        .agg(F.count_distinct("_k").alias("_df"))
+        .join(F.broadcast(pages), "_d")
+        .where((F.col("_n_pages") >= min_pages)
+               & (F.col("_df") >= F.lit(float(min_frac)) * F.col("_n_pages")))
+        .select("_d", "_line", F.lit(True).alias("_b"))
+    )
+    marked = lines.join(boiler, ["_d", "_line"], "left")
+    keep = F.when(F.col("_b").isNull(), F.struct("_idx", "_line"))
+    return (
+        marked.groupBy("_k")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_boiler_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(F.array_sort(F.collect_list(keep)),
+                            lambda s: s["_line"]),
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("_k", key_col)
+    )

@@ -123,3 +123,32 @@ def test_cache_policy_ladder(spark):
     got = df.select(cache_policy("h").alias("p")).select("p.*").collect()
     for (h, ttl, reval, lane), r in zip(cases, got):
         assert (r["ttl_s"], r["revalidate"], r["lane"]) == (ttl, reval, lane), h
+
+
+def test_boilerplate_strip_edges(spark):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        boilerplate_strip,
+    )
+
+    rows = []
+    # domain "big": 4 pages sharing a nav line; page 0 is ALL boilerplate;
+    # page 1 repeats the nav INSIDE the page (df counts pages, not lines)
+    rows.append((0, "big", "NAV"))
+    rows.append((1, "big", "NAV\nNAV\nbody one"))
+    rows.append((2, "big", "NAV\nbody two"))
+    rows.append((3, "big", "NAV\nbody three"))
+    # domain "tiny": 2 identical pages — below min_pages, kept verbatim
+    rows.append((10, "tiny", "same\nsame"))
+    rows.append((11, "tiny", "same\nsame"))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    got = {r["doc_id"]: r for r in
+           boilerplate_strip(df, min_frac=0.6, min_pages=3).collect()}
+    assert len(got) == 6
+    # NAV is on 4/4 big pages -> stripped everywhere, incl. both repeats
+    assert got[0]["kept_text"] == "" and got[0]["n_boiler_lines"] == 1
+    assert got[1]["kept_text"] == "body one" and got[1]["n_boiler_lines"] == 2
+    assert got[2]["kept_text"] == "body two"
+    assert got[3]["n_lines"] == 2
+    # tiny domain: below min_pages, nothing stripped
+    assert got[10]["kept_text"] == "same\nsame"
+    assert got[10]["n_boiler_lines"] == 0
