@@ -3850,6 +3850,57 @@ def boilerplate_strip_q(spark, sf_dir):
     return boilerplate_strip(pages, min_frac=0.6, min_pages=3)
 
 
+# Keep-best caption per image group (the LAION-style multimodal keep: an
+# image crawled under many captions keeps its best-aligned one). Groups =
+# pair_id % 50 (the synth's "same underlying image" relation); alignment =
+# the caption_alignment cosine; rank 1 by (alignment DESC, pair_id ASC) —
+# the same literal-bound WindowGroupLimit shape the schedule pins, so the
+# per-group work is map-side-bounded however many captions one viral image
+# accumulates.
+@_q(
+    "caption_canonical",
+    """
+    WITH img AS (
+      SELECT vec_id // 2 AS pair_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 0),
+    cap AS (
+      SELECT (vec_id - 1) // 2 AS pair_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 1),
+    s AS (
+      SELECT i.pair_id, i.pair_id % 50 AS img_group,
+             round(list_sum(list_transform(range(1, len(i.v) + 1),
+                                           k -> i.v[k] * c.v[k]))
+                   / (sqrt(list_sum(list_transform(i.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4)
+               AS alignment
+      FROM img i JOIN cap c USING (pair_id))
+    SELECT img_group, pair_id AS best_pair_id, alignment AS best_alignment
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY img_group
+                               ORDER BY alignment DESC, pair_id ASC) = 1
+    """,
+)
+def caption_canonical(spark, sf_dir):
+    aligned = QUERIES["caption_alignment"](spark, sf_dir).select(
+        "pair_id", (F.col("pair_id") % 50).alias("img_group"), "alignment"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("img_group").orderBy(
+            F.desc("alignment"), F.asc("pair_id"))
+    )
+    return (
+        aligned.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "img_group",
+            F.col("pair_id").alias("best_pair_id"),
+            F.col("alignment").alias("best_alignment"),
+        )
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3858,7 +3909,8 @@ def boilerplate_strip_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "boilerplate_strip", "sitemap_diff", "hard_negative_mine",
+    "caption_canonical", "boilerplate_strip", "sitemap_diff",
+    "hard_negative_mine",
     "url_canonicalize", "robots_sitemaps", "rss_ingest",
     "cache_policy_revisit",
     "sitemap_ingest", "frontier_refill", "source_overlap",
