@@ -44,34 +44,60 @@ TRACKING_PARAMS_RE = (
 )
 
 
+#: URI-component regexes (RFC 3986 shapes, VALIDATION-FREE on purpose):
+#: ``parse_url`` rides Java's URI parser, which returns NULL for hosts the
+#: RFC forbids but the real web serves anyway (labels ending in '-', digit
+#: TLDs, ...) — hypothesis found canonicalize_url returning NULL keys for
+#: them. A crawler must canonicalize garbage, not null it, so components
+#: are lifted with plain regexes: same codegen class, no validation.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL — no port, no userinfo; ``''`` when the
+    string has no ``scheme://authority`` shape (never NULL)."""
+    u = url_strip_fragment(F.trim(F.col(url) if isinstance(url, str) else url))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", "")
+    )
+
+
 def canonicalize_url(url: Column | str, drop_tracking: bool = False) -> Column:
-    """Canonical URL: lowercase scheme+host, strip fragment & default port,
-    drop trailing '/' on bare hosts, sort query parameters; with
+    """Canonical URL: lowercase scheme+host, strip fragment & default port &
+    userinfo, '/' for the empty path, sort query parameters; with
     ``drop_tracking`` also shed session/campaign params (utm_*, gclid, ...)
     so the same resource under N campaign links folds to ONE frontier key.
 
     Spark-first analog of the reference's ad-hoc ``.lower()`` calls
     (contract_crawler.py:362) extended to full URLs. Built entirely from
-    ``parse_url`` + string builtins so it stays inside codegen.
+    regex/string builtins so it stays inside codegen — and NEVER returns
+    NULL: a string without a parseable ``scheme://host`` comes back
+    trimmed + fragment-stripped (identity fallback, still a fixed point),
+    so a garbage discovery can't null a frontier key downstream.
     """
     u = F.trim(F.col(url) if isinstance(url, str) else url)
     u = url_strip_fragment(u)
-    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))  # parse_url HOST excludes the port
+    proto = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_replace(F.regexp_extract(u, _AUTH_RE, 1), r"^[^@]*@", "")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.lower(F.regexp_replace(auth, r":\d+$", ""))
     # keep a non-default explicit port; drop :80 (http) / :443 (https)
-    port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1)
     is_default = ((proto == "http") & (port == "80")) | ((proto == "https") & (port == "443"))
-    host = F.when((port != "") & ~is_default, F.concat(host, F.lit(":"), port)).otherwise(host)
-    path = F.parse_url(u, F.lit("PATH"))
-    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    query = F.parse_url(u, F.lit("QUERY"))
+    hostport = F.when((port != "") & ~is_default, F.concat(host, F.lit(":"), port)).otherwise(host)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
     params = F.split(query, "&")
     if drop_tracking:
         params = F.filter(params, lambda p: ~p.rlike(TRACKING_PARAMS_RE))
     sorted_query = F.when(
-        query.isNull() | (query == "") | (F.size(params) == 0), F.lit("")
+        (query == "") | (F.size(params) == 0), F.lit("")
     ).otherwise(F.concat(F.lit("?"), F.array_join(F.sort_array(params), "&")))
-    return F.concat(proto, F.lit("://"), host, path, sorted_query)
+    canon = F.concat(proto, F.lit("://"), hostport, path, sorted_query)
+    return F.when((proto != "") & (host != ""), canon).otherwise(u)
 
 
 def url_sha1(url_canon: Column | str) -> Column:
@@ -92,7 +118,11 @@ def registrable_domain(url_or_host: Column | str, is_host: bool = False) -> Colu
     (contract_crawler.py:32-36, :425-447) generalized to arbitrary hosts.
     """
     c = F.col(url_or_host) if isinstance(url_or_host, str) else url_or_host
-    host = c if is_host else F.lower(F.parse_url(url_strip_fragment(F.trim(c)), F.lit("HOST")))
+    # url_host is validation-free (regex lift) — RFC-invalid-but-served
+    # hosts still partition the frontier instead of collapsing into one
+    # NULL bucket; '' (no scheme://authority shape) maps to NULL here to
+    # keep this function's historical no-host contract
+    host = c if is_host else F.nullif(url_host(c), F.lit(""))
     host = F.regexp_replace(host, r":\d+$", "")  # strip port
     return registrable_domain_psl(host)
 
