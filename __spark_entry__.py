@@ -3901,6 +3901,64 @@ def caption_canonical(spark, sf_dir):
     )
 
 
+# Crawl-delay → budget fold (operators/politeness.py
+# budgets_with_crawl_delay over operators/robots.py parse_robots_full): a
+# domain declaring Crawl-delay D gets max_calls=1 and period_s=max(own
+# period, D) — the declared delay is a floor under the engine's own
+# politeness, never a license to go faster; declaring domains absent from
+# the configured dim enter it via the full-outer dim join. The group-aware
+# parse is pytest-pinned (tests/test_robots.py); this oracle checks the
+# fold arithmetic.
+@_q(
+    "crawl_delay_budget",
+    """
+    WITH b AS (
+      SELECT DISTINCT 'd' || CAST(o_custkey % 20 AS VARCHAR) AS domain,
+             CAST(2 + (o_custkey % 20) % 4 AS INT) AS max_calls,
+             CAST(1 + (o_custkey % 20) % 3 AS DOUBLE) AS period_s
+      FROM orders),
+    r AS (
+      SELECT DISTINCT 'd' || CAST(c_custkey % 26 AS VARCHAR) AS domain,
+             2.5 + (c_custkey % 26) % 5 AS crawl_delay
+      FROM customer WHERE (c_custkey % 26) % 3 = 0)
+    SELECT coalesce(b.domain, r.domain) AS domain,
+           CASE WHEN r.crawl_delay IS NOT NULL THEN 1
+                ELSE coalesce(b.max_calls, 5) END AS max_calls,
+           CASE WHEN r.crawl_delay IS NOT NULL
+                THEN greatest(coalesce(b.period_s, 1.0), r.crawl_delay)
+                ELSE coalesce(b.period_s, 1.0) END AS period_s
+    FROM b FULL OUTER JOIN r ON b.domain = r.domain
+    """,
+)
+def crawl_delay_budget(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        budgets_with_crawl_delay,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_custkey") % 20
+    budgets = o.select(
+        F.concat(F.lit("d"), d.cast("string")).alias("domain"),
+        (2 + d % 4).cast("int").alias("max_calls"),
+        (1 + d % 3).cast("double").alias("period_s"),
+    ).distinct()
+    c = _t(spark, sf_dir, "customer")
+    dd = F.col("c_custkey") % 26
+    robots = (
+        c.where(dd % 3 == 0)
+        .select(
+            F.concat(F.lit("d"), dd.cast("string")).alias("domain"),
+            F.array().cast("array<string>").alias("disallow"),
+            (2.5 + dd % 5).alias("crawl_delay"),
+        )
+        .distinct()
+    )
+    out = budgets_with_crawl_delay(budgets, robots)
+    return out.select(
+        "domain", F.col("max_calls").cast("int").alias("max_calls"), "period_s"
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3909,7 +3967,8 @@ def caption_canonical(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "caption_canonical", "boilerplate_strip", "sitemap_diff",
+    "crawl_delay_budget", "caption_canonical", "boilerplate_strip",
+    "sitemap_diff",
     "hard_negative_mine",
     "url_canonicalize", "robots_sitemaps", "rss_ingest",
     "cache_policy_revisit",

@@ -64,11 +64,60 @@ def robots_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
     if robots is None:
         return pending
     path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
-    joined = pending.join(F.broadcast(robots), on="domain", how="left")
+    # select the columns this filter consumes — the robots dim also carries
+    # crawl_delay (budgets_with_crawl_delay's input), which must not leak
+    # into the pending schema
+    joined = pending.join(
+        F.broadcast(robots.select("domain", "disallow")), on="domain", how="left"
+    )
     blocked = F.when(
         F.col("disallow").isNull(), F.lit(False)
     ).otherwise(F.exists(F.col("disallow"), lambda p: path.startswith(p)))
     return joined.filter(~blocked).drop("disallow")
+
+
+def budgets_with_crawl_delay(
+    budgets: DataFrame | None,
+    robots: DataFrame,
+    default_max_calls: int = DEFAULT_MAX_CALLS,
+    default_period_s: float = DEFAULT_PERIOD_S,
+) -> DataFrame:
+    """Fold declared ``Crawl-delay`` into the per-domain budget dim.
+
+    RFC 9309's (de-facto) Crawl-delay of D seconds means at most ONE fetch
+    per D seconds, so a declaring domain gets ``max_calls = 1`` and
+    ``period_s = greatest(configured period, D)`` — the declared delay is a
+    FLOOR under the operator's own politeness, never a license to go
+    faster. Domains without a delay keep their configured (or default)
+    budget; delay-declaring domains absent from the configured dim enter it
+    (full-outer join on the two dim tables — both broadcast-small by
+    contract, so this is a dim-build step, never a frontier-sized job).
+
+    Output schema == with_budget's input: (domain, max_calls, period_s).
+    """
+    delays = robots.where(F.col("crawl_delay").isNotNull()).select(
+        "domain", "crawl_delay"
+    )
+    if budgets is None:
+        return delays.select(
+            "domain",
+            F.lit(1).alias("max_calls"),
+            F.greatest(
+                F.lit(float(default_period_s)), F.col("crawl_delay")
+            ).alias("period_s"),
+        )
+    joined = budgets.join(delays, on="domain", how="full_outer")
+    base_period = F.coalesce(F.col("period_s"), F.lit(float(default_period_s)))
+    return joined.select(
+        "domain",
+        F.when(F.col("crawl_delay").isNotNull(), F.lit(1))
+        .otherwise(F.coalesce(F.col("max_calls"), F.lit(default_max_calls)))
+        .alias("max_calls"),
+        F.when(
+            F.col("crawl_delay").isNotNull(),
+            F.greatest(base_period, F.col("crawl_delay")),
+        ).otherwise(base_period).alias("period_s"),
+    )
 
 
 def max_epoch_capacity(

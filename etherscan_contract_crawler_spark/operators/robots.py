@@ -26,19 +26,22 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-ROBOTS_DDL = "domain string, disallow array<string>"
+ROBOTS_DDL = "domain string, disallow array<string>, crawl_delay double"
 
 RobotsFetchFn = Callable[[str], str | None]
 """domain -> robots.txt body (None = unreachable/404 -> no rules)."""
 
 
-def parse_robots(body: str | None) -> list[str]:
-    """Minimal RFC 9309 parse: Disallow prefixes of the ``User-agent: *``
-    group(s). Comments stripped, empty Disallow (allow-all) ignored,
-    unknown directives skipped. Pure function — unit-testable without Spark."""
+def parse_robots_full(body: str | None) -> tuple[list[str], float | None]:
+    """Minimal RFC 9309 parse of the ``User-agent: *`` group(s):
+    ``(disallow_prefixes, crawl_delay_seconds | None)``. Comments stripped,
+    empty Disallow (allow-all) ignored, unknown directives skipped,
+    non-numeric/negative Crawl-delay ignored (last valid one in a ``*``
+    group wins). Pure function — unit-testable without Spark."""
     if not body:
-        return []
+        return [], None
     rules: list[str] = []
+    delay: float | None = None
     in_star_group = False
     seen_agent_line = False
     for raw in body.splitlines():
@@ -59,7 +62,19 @@ def parse_robots(body: str | None) -> list[str]:
             seen_agent_line = False
             if key == "disallow" and in_star_group and value:
                 rules.append(value)
-    return sorted(set(rules))
+            elif key == "crawl-delay" and in_star_group:
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    delay = d
+    return sorted(set(rules)), delay
+
+
+def parse_robots(body: str | None) -> list[str]:
+    """Disallow-only view of :func:`parse_robots_full` (historic surface)."""
+    return parse_robots_full(body)[0]
 
 
 def synthetic_robots_session() -> RobotsFetchFn:
@@ -90,19 +105,23 @@ def acquire_robots(
     robots_session_factory: Callable[[], RobotsFetchFn] = synthetic_robots_session,
 ) -> DataFrame:
     """Fetch+parse robots for every distinct domain in ``frontier``;
-    returns the dim consumed by politeness.robots_filter (domains with no
-    rules are omitted — the filter's left join treats them as allow-all)."""
+    returns the dim consumed by politeness.robots_filter and
+    politeness.budgets_with_crawl_delay (domains with neither rules nor a
+    delay are omitted — the filters' left joins treat them as allow-all)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = robots_session_factory()  # once per task (U3 harness shape)
         for pdf in batches:
-            domains, rules = [], []
+            domains, rules, delays = [], [], []
             for domain in pdf["domain"]:
-                dis = parse_robots(fetch(domain))
-                if dis:
+                dis, delay = parse_robots_full(fetch(domain))
+                if dis or delay is not None:
                     domains.append(domain)
                     rules.append(dis)
-            yield pd.DataFrame({"domain": domains, "disallow": rules})
+                    delays.append(delay)
+            yield pd.DataFrame(
+                {"domain": domains, "disallow": rules, "crawl_delay": delays}
+            )
 
     return (
         frontier.select("domain")

@@ -62,3 +62,48 @@ def test_disallowed_path_never_scheduled(spark, tiny_seeds_df):
         F.col("domain").isin(*rules.keys())
     ).count()
     assert allowed_on_ruled > 0
+
+
+def test_parse_robots_full_crawl_delay():
+    from etherscan_contract_crawler_spark.operators.robots import (
+        parse_robots_full,
+    )
+
+    dis, delay = parse_robots_full(
+        "User-agent: fancy-bot\nCrawl-delay: 99\n\n"   # wrong group: ignored
+        "User-agent: *\nDisallow: /x\n"
+        "Crawl-delay: oops\n"                          # non-numeric: ignored
+        "Crawl-delay: 2.5\n"
+        "Crawl-delay: 7 # last valid one wins\n\n"
+        "User-agent: other\nCrawl-delay: -3\n"         # wrong group anyway
+    )
+    assert dis == ["/x"]
+    assert delay == 7.0
+    assert parse_robots_full(None) == ([], None)
+    assert parse_robots_full("User-agent: *\nCrawl-delay: -1\n") == ([], None)
+
+
+def test_budgets_with_crawl_delay_fold(spark):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        budgets_with_crawl_delay,
+    )
+
+    budgets = spark.createDataFrame(
+        [("a", 4, 2.0), ("b", 3, 1.0)],
+        "domain string, max_calls int, period_s double",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a", [], 0.5),    # declared delay BELOW own period: period wins
+            ("c", [], 10.0),   # delay-only domain enters the dim
+            ("d", [], None),   # no delay: filtered out, not a budget row
+        ],
+        "domain string, disallow array<string>, crawl_delay double",
+    )
+    got = {r["domain"]: (r["max_calls"], r["period_s"])
+           for r in budgets_with_crawl_delay(budgets, robots).collect()}
+    assert got == {"a": (1, 2.0), "b": (3, 1.0), "c": (1, 10.0)}
+    # budgets=None: only declaring domains, floored at the default period
+    got2 = {r["domain"]: (r["max_calls"], r["period_s"])
+            for r in budgets_with_crawl_delay(None, robots).collect()}
+    assert got2 == {"a": (1, 1.0), "c": (1, 10.0)}
