@@ -90,6 +90,13 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config
+        if robots is not None and "crawl_delay" in robots.columns:
+            # declared Crawl-delay floors the per-domain budget (max one
+            # fetch per declared period); folded ONCE here — dims are fixed
+            # per run, and _max_capacity below must see the folded values
+            from ..operators.politeness import budgets_with_crawl_delay
+
+            budgets = budgets_with_crawl_delay(budgets, robots)
         self.budgets = budgets
         self.robots = robots
         self.fetch_session_factory = fetch_session_factory
