@@ -3959,6 +3959,71 @@ def crawl_delay_budget(spark, sf_dir):
     )
 
 
+# EXIF extraction (functions/exif.py — a real TIFF 6.0 IFD walker, like
+# the real PNG codec): capture metadata the image curation gates need
+# (orientation before phash, capture time, device mix, true pixel dims).
+# The binary blobs are synthesized INSIDE Spark from part keys (alternating
+# byte order; every 7th image is garbage) and the oracle states the
+# expected decoded fields CLOSED-FORM from the same keys — so a binary
+# operator gets a full ground-truth oracle row, not just a round-trip.
+@_q(
+    "exif_metadata",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS image_id,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE CAST(1 + p_partkey % 8 AS INT) END AS orientation,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE 'Cam' || CAST(p_partkey % 5 AS VARCHAR) END AS make,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE 'M-' || CAST(p_partkey % 3 AS VARCHAR) END AS model,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE '2026:08:' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR),
+                                        2, '0') || ' 00:00:00' END AS datetime,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE CAST(640 + (p_partkey % 7) * 160 AS INT) END AS width,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE CAST(480 + (p_partkey % 7) * 120 AS INT) END AS height,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL
+                ELSE CAST(100 * (1 + p_partkey % 4) AS INT) END AS iso
+    FROM part
+    """,
+)
+def exif_metadata(spark, sf_dir):
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.exif import (
+        encode_tiff_exif, exif_extract,
+    )
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in pdf["k"]:
+                k = int(k)
+                ids.append(str(k))
+                if k % 7 == 0:
+                    blobs.append(b"not an image at all")
+                else:
+                    blobs.append(encode_tiff_exif(
+                        {
+                            "orientation": 1 + k % 8,
+                            "make": f"Cam{k % 5}",
+                            "model": f"M-{k % 3}",
+                            "datetime": f"2026:08:{k % 28 + 1:02d} 00:00:00",
+                            "width": 640 + (k % 7) * 160,
+                            "height": 480 + (k % 7) * 120,
+                            "iso": 100 * (1 + k % 4),
+                        },
+                        big_endian=bool(k % 2),
+                    ))
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    imgs = p.mapInPandas(synth, "image_id string, bytes binary")
+    return exif_extract(imgs)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -3967,7 +4032,8 @@ def crawl_delay_budget(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "crawl_delay_budget", "caption_canonical", "boilerplate_strip",
+    "exif_metadata", "crawl_delay_budget", "caption_canonical",
+    "boilerplate_strip",
     "sitemap_diff",
     "hard_negative_mine",
     "url_canonicalize", "robots_sitemaps", "rss_ingest",
