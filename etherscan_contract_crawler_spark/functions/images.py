@@ -210,3 +210,41 @@ def phash64(arr: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+#: EXIF orientation (tag 0x0112) -> the transform that renders the stored
+#: pixels upright. Values per the EXIF 2.3 / TIFF spec:
+#:   1 = as stored            5 = transpose (flip across main diagonal)
+#:   2 = mirror horizontal    6 = rotate 90 CW
+#:   3 = rotate 180           7 = transverse (flip across anti-diagonal)
+#:   4 = mirror vertical      8 = rotate 90 CCW
+def normalize_orientation(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Render an (h, w, c) array upright per its EXIF orientation.
+
+    Run BEFORE :func:`phash64`: the DCT hash is not invariant under
+    rotation/mirror, so the same photo stored sideways (every phone camera)
+    or mirrored would dodge near-dup banding entirely. Unknown/invalid
+    orientation values are treated as 1 (as stored) — garbage metadata must
+    not crash or flip an image.
+
+    Pure numpy views (rot90/flip return views; one ascontiguousarray at the
+    end) — no copy chain, no Python-loop pixels.
+    """
+    o = orientation if orientation in range(1, 9) else 1
+    if o == 2:
+        out = arr[:, ::-1]
+    elif o == 3:
+        out = arr[::-1, ::-1]
+    elif o == 4:
+        out = arr[::-1, :]
+    elif o == 5:
+        out = np.swapaxes(arr, 0, 1)
+    elif o == 6:
+        out = np.rot90(arr, 3)
+    elif o == 7:  # transverse is its own inverse: anti-diagonal flip
+        out = np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    elif o == 8:
+        out = np.rot90(arr, 1)
+    else:
+        out = arr
+    return np.ascontiguousarray(out)

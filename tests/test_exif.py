@@ -75,3 +75,38 @@ def test_exif_extract_operator(spark):
     # garbage and NULL cost one empty row each, never a task failure
     assert got["i3"]["orientation"] is None
     assert got["i4"]["orientation"] is None
+
+
+def test_normalize_orientation_properties():
+    import numpy as np
+
+    from etherscan_contract_crawler_spark.functions.images import (
+        normalize_orientation,
+        phash64,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    # each stored form, normalized, must reproduce the upright pixels —
+    # i.e. normalize inverts the transform a camera applied when STORING
+    stored = {
+        1: img,
+        2: img[:, ::-1],
+        3: img[::-1, ::-1],
+        4: img[::-1, :],
+        5: np.swapaxes(img, 0, 1),
+        6: np.rot90(img, 1),       # stored = upright rotated 90 CCW -> tag 6
+        7: np.swapaxes(img, 0, 1)[::-1, ::-1],  # transverse: self-inverse
+        8: np.rot90(img, 3),
+    }
+    up_hash = phash64(img)
+    for o, s in stored.items():
+        got = normalize_orientation(np.ascontiguousarray(s), o)
+        assert got.shape == img.shape, o
+        assert (got == img).all(), f"orientation {o} not inverted"
+        assert phash64(got) == up_hash, o
+
+    # garbage orientation values: identity, never raise
+    for bad in (None, 0, 9, -1, 255):
+        assert (normalize_orientation(img, bad) == img).all()
