@@ -4024,6 +4024,43 @@ def exif_metadata(spark, sf_dir):
     return exif_extract(imgs)
 
 
+# CCNet-style fluency proxy (analytics/text.py bigram_familiarity): mean
+# floor-log2 corpus frequency of a doc's word bigrams — gibberish and
+# wrong-language text live in rare-bigram territory. The log is an exact
+# integer threshold LADDER (shared between both engines via the generated
+# CASE below): a true ln-perplexity would be order-dependent float
+# summation and could hash-flip at the rounding boundary; BIGINT terms
+# cannot.
+_LOG2_LADDER_SQL = (
+    "CASE "
+    + " ".join(f"WHEN c >= {1 << e} THEN {e}" for e in range(20, 0, -1))
+    + " ELSE 0 END"
+)
+
+ORACLES["bigram_familiarity"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)),
+    c AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+    l AS (SELECT bg, {_LOG2_LADDER_SQL} AS lvl FROM c)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.lvl) AS BIGINT) AS fam_sum,
+           round(sum(l.lvl) * 1.0 / count(*), 4) AS familiarity
+    FROM b JOIN l USING (bg) GROUP BY b.doc_id
+    """
+
+
+@_q("bigram_familiarity")
+def bigram_familiarity_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        bigram_familiarity,
+    )
+
+    return bigram_familiarity(_t(spark, sf_dir, "documents"))
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4032,7 +4069,8 @@ def exif_metadata(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "exif_metadata", "crawl_delay_budget", "caption_canonical",
+    "bigram_familiarity", "exif_metadata", "crawl_delay_budget",
+    "caption_canonical",
     "boilerplate_strip",
     "sitemap_diff",
     "hard_negative_mine",

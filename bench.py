@@ -80,6 +80,8 @@ HEADLINE = [
     "sitemap_diff",
     "hard_negative_mine",
     "boilerplate_strip",
+    "bigram_familiarity",
+    "exif_metadata",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -338,3 +338,62 @@ def boilerplate_strip(
         )
         .withColumnRenamed("_k", key_col)
     )
+
+
+def floor_log2_ladder(count_col, max_exp: int = 20):
+    """Exact ``floor(log2(c))`` (0 for c < 2, capped at ``max_exp``) as a
+    threshold CASE ladder — NO floating log anywhere, so the score is
+    bit-identical across engines/partitionings (float ln differs in the
+    last ulp between libms, and a sum of per-row logs is
+    evaluation-order-dependent; integer terms summed as BIGINT are not)."""
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    expr = None
+    for e in range(max_exp, 0, -1):
+        cond = c >= (1 << e)
+        expr = F.when(cond, e) if expr is None else expr.when(cond, e)
+    return expr.otherwise(0)
+
+
+def bigram_familiarity(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_exp: int = 20,
+) -> DataFrame:
+    """CCNet-style fluency proxy: score each document by how FAMILIAR its
+    word bigrams are in the corpus — the mean floor-log2 corpus frequency
+    of its bigrams. Gibberish, boilerplate-free spam, and wrong-language
+    text sit in rare-bigram territory (low score); fluent in-distribution
+    text rides common constructions (high score). The integer-ladder log
+    (see :func:`floor_log2_ladder`) keeps the whole score exact: per-doc
+    ``fam_sum`` is a BIGINT sum, so no float-association drift between
+    engines or partitionings — the trap a true ln-perplexity would hit.
+
+    Shape: gram explode (multiplicity kept — frequency weighting is the
+    point), ONE hash agg on the bigram for corpus counts, a co-partitioned
+    join back on the same key (no extra exchange under AQE), one per-doc
+    agg. Documents with fewer than two words have no bigrams and no row.
+    """
+    worded = docs.select(
+        F.col(key_col).alias("doc_id"), normalized_words(text_col).alias("_w")
+    )
+    from .dedup import gram_array
+
+    bi = worded.select("doc_id", F.explode(gram_array(2)).alias("bg"))
+    cnt = (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("_c"))
+        .select("bg", floor_log2_ladder("_c", max_exp).alias("_lvl"))
+    )
+    return (
+        bi.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_lvl").cast("long").alias("fam_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "fam_sum",
+            F.round(F.col("fam_sum") / F.col("n_bigrams"), 4).alias("familiarity"),
+        )
+    )
