@@ -4061,6 +4061,50 @@ def bigram_familiarity_q(spark, sf_dir):
     return bigram_familiarity(_t(spark, sf_dir, "documents"))
 
 
+# HTML -> visible text + title (functions/html.py): the whole-document
+# flatten the curation layer runs on every landed page (lang-ID, quality,
+# dedup all consume it). Synth wraps each document in a page with a
+# commented-out script, a live script (containing a literal '<'), a style
+# block, and entities; the oracle states the expected visible text
+# CLOSED-FORM — the strip chain is checked against ground truth, not a
+# second regex engine.
+@_q(
+    "html_text_extract",
+    """
+    SELECT doc_id,
+           'Doc & ' || CAST(doc_id AS VARCHAR) AS title,
+           'Doc & ' || CAST(doc_id AS VARCHAR) || ' Heading '
+             || CAST(doc_id AS VARCHAR) || ' ' || text
+             || ' tail bit' AS text_vis
+    FROM documents
+    """,
+)
+def html_text_extract(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import (
+        html_title, html_to_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title> Doc &amp; "), i,
+        F.lit("</title><style>p { color: red }</style></head><body><h1>Heading "),
+        i,
+        F.lit("</h1><!-- hidden <script>evil()</script> comment --><p>"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+        ).otherwise(F.lit("</p>")),
+        F.lit("<div>tail&nbsp;bit</div></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_title(page).alias("title"),
+        html_to_text(page).alias("text_vis"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4069,7 +4113,8 @@ def bigram_familiarity_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "bigram_familiarity", "exif_metadata", "crawl_delay_budget",
+    "html_text_extract", "bigram_familiarity", "exif_metadata",
+    "crawl_delay_budget",
     "caption_canonical",
     "boilerplate_strip",
     "sitemap_diff",

@@ -1,0 +1,67 @@
+"""HTML → text extraction — pure Column regex chain (no parser library).
+
+The reference extracts fields from fetched pages with bs4 selectors
+(contract_crawler.py:134-153); the listing source (sources/listing.py)
+generalizes the field lift. This module is the other standard consumer of
+a landed page: flatten the whole document to indexable text for the
+curation layer (language-ID, quality, dedup all run on it).
+
+Regex-on-HTML caveats, stated not hidden: this is the WHOLE-DOCUMENT
+flatten, not a DOM query — good for "the text of the page", wrong for
+"the third table cell" (that's the listing source's job). Every pattern is
+RE2-safe (no backreferences, no lookaround) so the SAME chain runs in the
+DuckDB oracle; script/style need separate removals because ``</\\1>``
+backreferences don't exist in RE2.
+
+Scale: a scan-level projection — a handful of regexp_replace passes per
+row, cost linear in page size, zero shuffles, full codegen. At 100 TB
+this runs at scan speed next to the landing read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: removal passes, in order (comments first: a commented-out script must
+#: not resurrect; script/style whole-block because their CONTENT is code)
+_STRIP_PASSES = (
+    r"(?s)<!--.*?-->",
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<[^>]*>",  # every remaining tag -> separator
+)
+_TITLE_RE = r"(?is)<title[^>]*>\s*(.*?)\s*</title"
+
+#: the five predefined XML entities plus the one HTML adds everywhere
+_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def html_unescape(col: Column) -> Column:
+    """Entity decode (named subset + nbsp); ``&amp;`` last so ``&amp;lt;``
+    round-trips to literal ``&lt;`` instead of double-decoding."""
+    out = col
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML document: comments, scripts, styles and tags
+    removed (tags become spaces so adjacent blocks don't weld together),
+    entities decoded, whitespace collapsed, trimmed."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat in _STRIP_PASSES:
+        out = F.regexp_replace(out, pat, " ")
+    out = html_unescape(out)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_title(col: Column | str) -> Column:
+    """``<title>`` text (entity-decoded, trimmed); NULL when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    got = F.regexp_extract(c, _TITLE_RE, 1)
+    return F.when(got != "", html_unescape(got))

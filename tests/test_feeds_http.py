@@ -152,3 +152,34 @@ def test_boilerplate_strip_edges(spark):
     # tiny domain: below min_pages, nothing stripped
     assert got[10]["kept_text"] == "same\nsame"
     assert got[10]["n_boiler_lines"] == 0
+
+
+def test_html_to_text_edges(spark):
+    from etherscan_contract_crawler_spark.functions.html import (
+        html_title,
+        html_to_text,
+    )
+
+    pages = [
+        # comment-wrapped script must not resurrect; entity round-trip:
+        # &amp;lt; decodes to the literal text "&lt;", not to "<"
+        ("<body><!--<script>x()</script>--><p>a&amp;lt;b</p></body>", None,
+         "a&lt;b"),
+        # script containing a '<' and a '</div>' inside a string: the lazy
+        # block match still ends at the REAL </script> (a literal
+        # '</script>' inside a string would end it early — exactly what
+        # browsers do too)
+        ('<script>if (1<2) s="</div>";</script>ok', None, "ok"),
+        # style + nbsp + adjacent blocks must not weld
+        ("<style>p{}</style><p>x</p><p>y</p>", None, "x y"),
+        # title lifted + decoded; absent title -> NULL
+        ("<head><title> A &amp; B </title></head><body>t</body>", "A & B",
+         "A & B t"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _, _ in pages], "h string")
+    got = df.select(
+        html_title("h").alias("t"), html_to_text("h").alias("x")
+    ).collect()
+    for (page, want_t, want_x), r in zip(pages, got):
+        assert r["t"] == want_t, page
+        assert r["x"] == want_x, page
