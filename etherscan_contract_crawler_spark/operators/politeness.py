@@ -64,16 +64,36 @@ def robots_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
     if robots is None:
         return pending
     path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
+
+    def best_match(rules_col):
+        """Length of the longest rule prefix matching the path; -1 when
+        none match — one F.aggregate pass over the (small) rule array."""
+        return F.aggregate(
+            rules_col,
+            F.lit(-1),
+            lambda acc, p: F.greatest(
+                acc, F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1))
+            ),
+        )
+
+    # RFC 9309 §2.2.2: the most specific (longest) matching rule wins;
+    # on a tie the least restrictive (Allow) wins. No Allow column on the
+    # dim (older producers) degrades to Disallow-prefix-any.
+    has_allow = "allow" in robots.columns
+    cols = ["domain", "disallow"] + (["allow"] if has_allow else [])
     # select the columns this filter consumes — the robots dim also carries
     # crawl_delay (budgets_with_crawl_delay's input), which must not leak
     # into the pending schema
     joined = pending.join(
-        F.broadcast(robots.select("domain", "disallow")), on="domain", how="left"
+        F.broadcast(robots.select(*cols)), on="domain", how="left"
     )
-    blocked = F.when(
-        F.col("disallow").isNull(), F.lit(False)
-    ).otherwise(F.exists(F.col("disallow"), lambda p: path.startswith(p)))
-    return joined.filter(~blocked).drop("disallow")
+    best_dis = best_match(F.coalesce(F.col("disallow"), F.array()))
+    if has_allow:
+        best_alw = best_match(F.coalesce(F.col("allow"), F.array()))
+        blocked = best_dis > best_alw
+    else:
+        blocked = best_dis >= 0
+    return joined.filter(~blocked).drop(*[c for c in cols if c != "domain"])
 
 
 def budgets_with_crawl_delay(

@@ -26,21 +26,30 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-ROBOTS_DDL = "domain string, disallow array<string>, crawl_delay double"
+ROBOTS_DDL = (
+    "domain string, disallow array<string>, allow array<string>, "
+    "crawl_delay double"
+)
 
 RobotsFetchFn = Callable[[str], str | None]
 """domain -> robots.txt body (None = unreachable/404 -> no rules)."""
 
 
-def parse_robots_full(body: str | None) -> tuple[list[str], float | None]:
+def parse_robots_full(
+    body: str | None,
+) -> tuple[list[str], list[str], float | None]:
     """Minimal RFC 9309 parse of the ``User-agent: *`` group(s):
-    ``(disallow_prefixes, crawl_delay_seconds | None)``. Comments stripped,
-    empty Disallow (allow-all) ignored, unknown directives skipped,
-    non-numeric/negative Crawl-delay ignored (last valid one in a ``*``
-    group wins). Pure function — unit-testable without Spark."""
+    ``(disallow_prefixes, allow_prefixes, crawl_delay_seconds | None)``.
+    Comments stripped, empty Disallow/Allow (no-op) ignored, unknown
+    directives skipped, non-numeric/negative Crawl-delay ignored (last
+    valid one in a ``*`` group wins). Prefix rules only — ``*``/``$``
+    wildcard rules are kept verbatim as prefixes up to the first ``*``
+    (a CONSERVATIVE over-block for Disallow, documented subset). Pure
+    function — unit-testable without Spark."""
     if not body:
-        return [], None
+        return [], [], None
     rules: list[str] = []
+    allows: list[str] = []
     delay: float | None = None
     in_star_group = False
     seen_agent_line = False
@@ -61,7 +70,9 @@ def parse_robots_full(body: str | None) -> tuple[list[str], float | None]:
         else:
             seen_agent_line = False
             if key == "disallow" and in_star_group and value:
-                rules.append(value)
+                rules.append(value.split("*", 1)[0].rstrip("$") or "/")
+            elif key == "allow" and in_star_group and value:
+                allows.append(value.split("*", 1)[0].rstrip("$"))
             elif key == "crawl-delay" and in_star_group:
                 try:
                     d = float(value)
@@ -69,7 +80,7 @@ def parse_robots_full(body: str | None) -> tuple[list[str], float | None]:
                     continue
                 if d >= 0:
                     delay = d
-    return sorted(set(rules)), delay
+    return sorted(set(rules)), sorted(set(a for a in allows if a)), delay
 
 
 def parse_robots(body: str | None) -> list[str]:
@@ -112,15 +123,17 @@ def acquire_robots(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = robots_session_factory()  # once per task (U3 harness shape)
         for pdf in batches:
-            domains, rules, delays = [], [], []
+            domains, rules, allows, delays = [], [], [], []
             for domain in pdf["domain"]:
-                dis, delay = parse_robots_full(fetch(domain))
-                if dis or delay is not None:
+                dis, alw, delay = parse_robots_full(fetch(domain))
+                if dis or alw or delay is not None:
                     domains.append(domain)
                     rules.append(dis)
+                    allows.append(alw)
                     delays.append(delay)
             yield pd.DataFrame(
-                {"domain": domains, "disallow": rules, "crawl_delay": delays}
+                {"domain": domains, "disallow": rules, "allow": allows,
+                 "crawl_delay": delays}
             )
 
     return (

@@ -69,7 +69,7 @@ def test_parse_robots_full_crawl_delay():
         parse_robots_full,
     )
 
-    dis, delay = parse_robots_full(
+    dis, allow, delay = parse_robots_full(
         "User-agent: fancy-bot\nCrawl-delay: 99\n\n"   # wrong group: ignored
         "User-agent: *\nDisallow: /x\n"
         "Crawl-delay: oops\n"                          # non-numeric: ignored
@@ -79,8 +79,8 @@ def test_parse_robots_full_crawl_delay():
     )
     assert dis == ["/x"]
     assert delay == 7.0
-    assert parse_robots_full(None) == ([], None)
-    assert parse_robots_full("User-agent: *\nCrawl-delay: -1\n") == ([], None)
+    assert parse_robots_full(None) == ([], [], None)
+    assert parse_robots_full("User-agent: *\nCrawl-delay: -1\n") == ([], [], None)
 
 
 def test_budgets_with_crawl_delay_fold(spark):
@@ -107,3 +107,39 @@ def test_budgets_with_crawl_delay_fold(spark):
     got2 = {r["domain"]: (r["max_calls"], r["period_s"])
             for r in budgets_with_crawl_delay(None, robots).collect()}
     assert got2 == {"a": (1, 1.0), "c": (1, 10.0)}
+
+
+def test_robots_longest_match_allow(spark):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        robots_filter,
+    )
+    from etherscan_contract_crawler_spark.operators.robots import (
+        parse_robots_full,
+    )
+
+    # RFC 9309 example shape: a carve-out under a blocked subtree
+    dis, alw, _ = parse_robots_full(
+        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+        "Disallow: /wild*card\nAllow:\n"   # wildcard -> conservative prefix
+    )
+    assert dis == ["/private", "/wild"] and alw == ["/private/pub"]
+
+    robots = spark.createDataFrame(
+        [("a.com", dis, alw, None)],
+        "domain string, disallow array<string>, allow array<string>, "
+        "crawl_delay double",
+    )
+    urls = [
+        ("a.com", "https://a.com/private/x", False),      # disallow wins
+        ("a.com", "https://a.com/private/pub/ok", True),  # longer allow wins
+        ("a.com", "https://a.com/public", True),          # no rule matches
+        ("a.com", "https://a.com/wildANYcard", False),    # prefix over-block
+        ("b.com", "https://b.com/private/x", True),       # no dim row
+    ]
+    pending = spark.createDataFrame(
+        [(d, u, u) for d, u, _ in urls],
+        "domain string, url string, url_canon string",
+    )
+    kept = {r["url"] for r in robots_filter(pending, robots).collect()}
+    for d, u, want in urls:
+        assert (u in kept) == want, u
