@@ -4105,6 +4105,54 @@ def html_text_extract(spark, sf_dir):
     )
 
 
+# Charset detection (functions/http.py detect_charset): header charset
+# param > meta declaration > default, per protocol precedence — the gate
+# before bytes->text decode. Oracle states the expected winner closed-form
+# per generator residue.
+@_q(
+    "charset_detect",
+    """
+    SELECT o_orderkey AS url_id,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'iso-8859-1'
+             WHEN 1 THEN 'utf-8'
+             WHEN 2 THEN 'shift_jis'
+             WHEN 3 THEN 'windows-1252'
+             ELSE 'utf-8'
+           END AS charset
+    FROM orders
+    """,
+)
+def charset_detect(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.http import detect_charset
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 5
+    headers = (
+        # 0: header param wins even when a meta disagrees
+        F.when(m == 0, F.lit(
+            "HTTP/1.1 200 OK\nContent-Type: text/html; charset=ISO-8859-1"))
+        # 1: quoted param, odd casing in the header name
+        .when(m == 1, F.lit('content-type: text/html;charset="UTF-8"'))
+        # 2-4: no charset param (2,3) or no content-type at all (4)
+        .when(m == 2, F.lit("Content-Type: text/html"))
+        .when(m == 3, F.lit("Content-Type: text/html"))
+        .otherwise(F.lit("Server: nginx"))
+    )
+    body = (
+        F.when(m == 0, F.lit('<meta charset="utf-8"><p>ignored</p>'))
+        .when(m == 2, F.lit("<META CHARSET=Shift_JIS><p>x</p>"))
+        .when(m == 3, F.lit(
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1252">'))
+        .otherwise(F.lit("<p>no declaration</p>"))
+    )
+    return o.select(
+        k.alias("url_id"), detect_charset(headers, body).alias("charset")
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4113,7 +4161,8 @@ def html_text_extract(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "html_text_extract", "bigram_familiarity", "exif_metadata",
+    "charset_detect", "html_text_extract", "bigram_familiarity",
+    "exif_metadata",
     "crawl_delay_budget",
     "caption_canonical",
     "boilerplate_strip",

@@ -75,3 +75,31 @@ def cache_policy(
     )
     return F.struct(ttl.alias("ttl_s"), revalidate.alias("revalidate"),
                     lane.alias("lane"))
+
+
+#: charset= parameter of a Content-Type header value (RFC 9110 §8.3),
+#: optionally quoted
+_CT_CHARSET_RE = r"(?im)^content-type[ \t]*:[^\n]*?charset=\"?([A-Za-z0-9_\-]+)"
+#: HTML meta fallbacks: <meta charset=...> and the http-equiv form
+_META_CHARSET_RE = r"(?is)<meta[^>]*\bcharset=[\"']?([A-Za-z0-9_\-]+)"
+
+
+def detect_charset(
+    headers: Column | str,
+    body: Column | str | None = None,
+    default: str = "utf-8",
+) -> Column:
+    """Charset of a response, by the protocol's precedence: the
+    Content-Type header's ``charset`` parameter wins; else the document's
+    ``<meta charset>`` / ``http-equiv`` declaration; else ``default``.
+    Lowercased; never NULL. Pure regex projection — the decode step this
+    feeds (bytes → text) runs in the fetch path's Arrow batches, and a
+    wrong charset must surface as one mojibake row, not a task failure.
+    """
+    h = F.col(headers) if isinstance(headers, str) else headers
+    out = F.lower(F.regexp_extract(h, _CT_CHARSET_RE, 1))
+    if body is not None:
+        b = F.col(body) if isinstance(body, str) else body
+        meta = F.lower(F.regexp_extract(b, _META_CHARSET_RE, 1))
+        out = F.when(out != "", out).otherwise(meta)
+    return F.when(out != "", out).otherwise(F.lit(default.lower()))
