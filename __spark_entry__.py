@@ -4153,6 +4153,120 @@ def charset_detect(spark, sf_dir):
     )
 
 
+# SURT sort key (functions/urls.py surt_key): reverse-host canonical key,
+# the format web archives index CDX files under. Lexicographic order on it
+# clusters every URL of a registrable domain (and all its subdomains) into
+# ONE contiguous range — range-partition the frontier by SURT and
+# per-domain scans become partition-pruned prefix ranges, domain exports
+# become range scans, and parquet min/max stats prune files. Synth covers
+# multi-label PSL hosts, www, non-default port kept, default port dropped,
+# userinfo stripped, query-param sorting, bare-host '/', and the
+# no-scheme identity fallback; the oracle states each expected key
+# CLOSED-FORM per generator residue (ground truth, not a second parser).
+@_q(
+    "surt_key",
+    """
+    SELECT o_orderkey AS url_id,
+           CASE o_orderkey % 6
+             WHEN 0 THEN 'uk,co,example' || CAST(o_custkey % 50 AS VARCHAR)
+               || ',news)/a/' || CAST(o_orderkey AS VARCHAR) || '?a=1&b=2'
+             WHEN 1 THEN 'com,site' || CAST(o_custkey % 50 AS VARCHAR)
+               || ',www:8080)/x/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 2 THEN 'com,example,cdn' || CAST(o_custkey % 50 AS VARCHAR)
+               || ')/img/' || CAST(o_orderkey AS VARCHAR) || '.jpg'
+             WHEN 3 THEN 'com,example' || CAST(o_custkey % 50 AS VARCHAR) || ')/'
+             WHEN 4 THEN 'net,host' || CAST(o_custkey % 50 AS VARCHAR) || ')/p?z=1'
+             ELSE 'frontier key ' || CAST(o_orderkey AS VARCHAR)
+           END AS surt
+    FROM orders
+    """,
+)
+def surt_key_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.urls import surt_key
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 6
+    d = (F.col("o_custkey") % 50).cast("string")
+    ks = k.cast("string")
+    url = (
+        # 0: mixed case, multi-label public suffix, fragment, unsorted query
+        F.when(m == 0, F.concat(
+            F.lit("https://news.Example"), d, F.lit(".co.uk/a/"), ks,
+            F.lit("?b=2&a=1#frag")))
+        # 1: www kept, non-default port kept
+        .when(m == 1, F.concat(
+            F.lit("http://WWW.Site"), d, F.lit(".com:8080/x/"), ks))
+        # 2: default https port dropped
+        .when(m == 2, F.concat(
+            F.lit("https://cdn"), d, F.lit(".example.com:443/img/"), ks,
+            F.lit(".jpg")))
+        # 3: bare host -> '/' path
+        .when(m == 3, F.concat(F.lit("http://example"), d, F.lit(".com")))
+        # 4: userinfo stripped, default http port dropped
+        .when(m == 4, F.concat(
+            F.lit("http://user:pw@host"), d, F.lit(".net:80/p?z=1")))
+        # 5: no scheme://host shape -> identity fallback, never NULL
+        .otherwise(F.concat(F.lit("frontier key "), ks))
+    )
+    return o.select(k.alias("url_id"), surt_key(url).alias("surt"))
+
+
+# Page-level robots directives (functions/html.py meta_robots): robots.txt
+# gates the FETCH; X-Robots-Tag / <meta name=robots> gate what the engine
+# does with a fetched page — noindex keeps it out of the corpus,
+# nofollow keeps its outlinks out of the frontier. Both sources apply
+# (directive union = most restrictive wins), 'none' ≡ noindex,nofollow,
+# token-safe match (nonoindexed ≠ noindex), non-robots meta names ignored.
+@_q(
+    "meta_robots_gate",
+    """
+    SELECT o_orderkey AS url_id,
+           (o_orderkey % 6) IN (0, 2, 5)            AS noindex,
+           (o_orderkey % 6) IN (1, 2, 5)            AS nofollow,
+           NOT (o_orderkey % 6) IN (0, 2, 5)        AS corpus_keep,
+           NOT (o_orderkey % 6) IN (1, 2, 5)        AS extract_links
+    FROM orders
+    """,
+)
+def meta_robots_gate(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import meta_robots
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 6
+    headers = (
+        # 0: header alone
+        F.when(m == 0, F.lit("HTTP/1.1 200 OK\nX-Robots-Tag: noindex"))
+        # 4: real directive we don't track + decoy meta below
+        .when(m == 4, F.lit("x-robots-tag: nosnippet"))
+        # 5: header noindex UNIONs with meta nofollow
+        .when(m == 5, F.lit("X-Robots-Tag: noindex"))
+        .otherwise(F.lit("Server: nginx"))
+    )
+    body = (
+        # 1: meta alone, odd spacing/casing, extra directive
+        F.when(m == 1, F.lit(
+            '<meta name="robots" content="NOFOLLOW , noarchive">'))
+        # 2: attribute order free, none ≡ noindex,nofollow
+        .when(m == 2, F.lit("<META CONTENT='none' NAME=robots>"))
+        # 3: googlebot-scoped tag is NOT name=robots -> ignored
+        .when(m == 3, F.lit('<meta name="googlebot" content="noindex">'))
+        # 4: directive buried in a word must not match
+        .when(m == 4, F.lit('<meta name="robots" content="nonoindexed">'))
+        .when(m == 5, F.lit('<meta name="robots" content="nofollow">'))
+        .otherwise(F.lit("<p>plain page</p>"))
+    )
+    mr = meta_robots(headers, body)
+    return o.select(
+        k.alias("url_id"),
+        mr.noindex.alias("noindex"),
+        mr.nofollow.alias("nofollow"),
+        (~mr.noindex).alias("corpus_keep"),
+        (~mr.nofollow).alias("extract_links"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4161,6 +4275,7 @@ def charset_detect(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "surt_key", "meta_robots_gate",
     "charset_detect", "html_text_extract", "bigram_familiarity",
     "exif_metadata",
     "crawl_delay_budget",

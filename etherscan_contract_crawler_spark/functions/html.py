@@ -65,3 +65,54 @@ def html_title(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     got = F.regexp_extract(c, _TITLE_RE, 1)
     return F.when(got != "", html_unescape(got))
+
+
+#: X-Robots-Tag response header (RFC 9110 field syntax; value to line end)
+_XROBOTS_RE = r"(?im)^x-robots-tag\s*:\s*([^\r\n]*)"
+#: first <meta name=robots ...> tag, attribute order free
+_META_ROBOTS_TAG_RE = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']?robots[\"']?[^>]*>"
+)
+_CONTENT_ATTR_RE = r"(?is)\bcontent\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def _directive(directives: Column, name: str) -> Column:
+    # token match inside a comma-separated directive list ('none' implies
+    # both noindex and nofollow, per the robots-meta spec)
+    pat = rf"(?i)(^|,)\s*({name}|none)\s*(,|$)"
+    return directives.rlike(pat)
+
+
+def meta_robots(headers: Column | str, body: Column | str) -> Column:
+    """Page-level robots directives as a struct
+    ``(noindex boolean, nofollow boolean)``.
+
+    robots.txt (operators/robots.py) gates the FETCH; these gate what a
+    crawler may do with a page it already fetched: ``noindex`` keeps the
+    document out of the corpus/index, ``nofollow`` keeps its outlinks out
+    of the frontier. Sources, per the robots-meta spec: the
+    ``X-Robots-Tag`` response header and ``<meta name="robots">`` — both
+    apply, most-restrictive wins (directive union), ``none`` ≡
+    ``noindex,nofollow``. Case-insensitive token match on the
+    comma-separated directive list; a directive buried in another word
+    (``nonoindexed``) does not match.
+
+    Pure Column regex projection (RE2-safe, zero shuffle, codegen) — runs
+    at scan speed next to the landing read, and the ``~noindex`` /
+    ``~nofollow`` predicates it feeds are plain Catalyst filters on the
+    corpus-admission and link-extraction paths.
+
+    Reference analog: none — the reference indexes everything it fetches
+    (contract_crawler.py:134-153); at web scale ignoring these directives
+    both bloats the corpus and violates publisher opt-outs.
+    """
+    h = F.col(headers) if isinstance(headers, str) else headers
+    b = F.col(body) if isinstance(body, str) else body
+    hdr = F.regexp_extract(h, _XROBOTS_RE, 1)
+    tag = F.regexp_extract(b, _META_ROBOTS_TAG_RE, 0)
+    meta = F.regexp_extract(tag, _CONTENT_ATTR_RE, 1)
+    combined = F.concat_ws(",", hdr, meta)
+    return F.struct(
+        _directive(combined, "noindex").alias("noindex"),
+        _directive(combined, "nofollow").alias("nofollow"),
+    )

@@ -196,3 +196,43 @@ def trap_signals(url: Column | str) -> Column:
         n_repeated.cast("int").alias("n_repeated"),
         is_trap.alias("is_trap"),
     )
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT-form sort key of a URL: ``tld,…,host[:port])/path?sortedquery``
+    (Sort-friendly URI Reordering Transform, the key format web archives
+    index CDX files under — e.g. ``https://news.Example.co.uk/a?b=2&a=1``
+    → ``uk,co,example,news)/a?a=1&b=2``).
+
+    Built ON TOP of :func:`canonicalize_url` (lowercase host, fragment and
+    default port and userinfo gone, query params sorted), then the host's
+    dot-labels reversed and comma-joined. ``www`` is kept — the key must
+    stay injective per canonical URL (dropping it would merge distinct
+    hosts); locality is identical either way because ``www`` sorts inside
+    its registrable domain's prefix.
+
+    Why the frontier wants it: lexicographic order on SURT clusters every
+    URL of a registrable domain (and every subdomain under it) into ONE
+    contiguous key range. Range-partition or sort the frontier by this key
+    and (a) per-domain politeness/scheduling scans become partition-pruned
+    prefix ranges instead of hash probes across all partitions, (b) a
+    domain-scoped export is a range scan, (c) parquet min/max column stats
+    on the key prune files at scan time. Pure Column exprs — regex lift +
+    ``reverse``/``array_join`` — zero shuffle, full codegen; the
+    no-``scheme://host`` fallback mirrors canonicalize_url (returns the
+    trimmed input so garbage can't NULL a sort key).
+
+    Reference analog: the reference keys its universe by lowercased
+    address (contract_crawler.py:362) — this is the same "one canonical
+    sortable key per resource" idea at web scale.
+    """
+    canon = canonicalize_url(url)
+    hostport = F.regexp_extract(canon, _AUTH_RE, 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(canon, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        host != "", F.concat(rev, port, F.lit(")"), rest)
+    ).otherwise(canon)

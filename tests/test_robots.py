@@ -143,3 +143,26 @@ def test_robots_longest_match_allow(spark):
     kept = {r["url"] for r in robots_filter(pending, robots).collect()}
     for d, u, want in urls:
         assert (u in kept) == want, u
+
+
+def test_meta_robots_union_and_token_safety(spark):
+    """Header and meta UNION (most restrictive wins); 'none' implies both;
+    token match doesn't fire inside words; non-robots meta names ignored."""
+    from etherscan_contract_crawler_spark.functions.html import meta_robots
+
+    rows = [
+        # headers, body, want_noindex, want_nofollow
+        ("X-Robots-Tag: noindex", "<p>x</p>", True, False),
+        ("Server: x", '<meta name="robots" content="NOFOLLOW , noarchive">', False, True),
+        ("Server: x", "<META CONTENT='none' NAME=robots>", True, True),
+        ("Server: x", '<meta name="googlebot" content="noindex">', False, False),
+        ("x-robots-tag: nosnippet", '<meta name="robots" content="nonoindexed">', False, False),
+        ("X-Robots-Tag: noindex", '<meta name="robots" content="nofollow">', True, True),
+        ("Server: x", "<p>plain</p>", False, False),
+    ]
+    df = spark.createDataFrame(
+        [(h, b) for h, b, _, _ in rows], "headers string, body string"
+    )
+    got = df.select(meta_robots("headers", "body").alias("m")).collect()
+    for r, (h, b, ni, nf) in zip(got, rows):
+        assert (r.m.noindex, r.m.nofollow) == (ni, nf), (h, b)

@@ -105,3 +105,50 @@ def test_registrable_domain_psl_pinned_values(spark):
     got = df.select("url", U.registrable_domain("url").alias("d")).collect()
     for r in got:
         assert r.d == cases[r.url], r.url
+
+
+def test_surt_key_pinned_values(spark):
+    """SURT semantics pinned to ground-truth literals (canonicalization +
+    host reversal + port/userinfo/query handling in one key)."""
+    cases = {
+        "https://news.Example.co.uk/a?b=2&a=1#frag": "uk,co,example,news)/a?a=1&b=2",
+        "http://WWW.Test.com:8080/x/y": "com,test,www:8080)/x/y",
+        "https://example.com:443/": "com,example)/",
+        "http://example.com": "com,example)/",
+        "http://user:pw@Host.net:80/p?z=1": "net,host)/p?z=1",
+        "not a url": "not a url",  # identity fallback — never NULL
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = df.select("url", U.surt_key("url").alias("k")).collect()
+    for r in got:
+        assert r.k == cases[r.url], r.url
+
+
+def test_surt_key_domain_locality(spark):
+    """The property the frontier buys: sorting by SURT makes every URL of a
+    registrable domain (including all subdomains) one CONTIGUOUS run — the
+    precondition for range-partition pruning of per-domain scans."""
+    urls = [
+        "https://a.example.com/1",
+        "https://z-other.org/x",
+        "https://example.com/2",
+        "https://b.example.com/3",
+        "https://aardvark.net/y",
+        "https://example.com/0",
+        "https://sub.deep.example.com/4",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select(U.surt_key("url").alias("k"),
+                  U.registrable_domain("url").alias("d"))
+        .orderBy("k")
+        .collect()
+    )
+    doms = [r.d for r in rows]
+    # each registrable domain appears as exactly one contiguous block
+    seen, prev = set(), None
+    for d in doms:
+        if d != prev:
+            assert d not in seen, f"domain {d} split across the sort order"
+            seen.add(d)
+        prev = d
