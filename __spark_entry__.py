@@ -4267,6 +4267,214 @@ def meta_robots_gate(spark, sf_dir):
     )
 
 
+# Exact duplicated-substring SPANS (analytics/dedup.py duplicate_spans) —
+# the word-level rendering of exact-substring dedup (Lee et al. 2022): any
+# 5-gram occurring in >= 2 distinct docs marks its start position, and
+# maximal runs of marked positions merge into spans via one doc-partitioned
+# window (gaps-and-islands). Injected docs are 25-word prefixes of every
+# 4th document, so real partial spans exist at every sf; the oracle
+# re-derives grams positionally with zipped unnests and the same islands.
+@_q(
+    "span_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id,
+             array_to_string(list_slice({_SQL_WORDS}, 1, 25), ' ') AS text
+      FROM documents WHERE doc_id % 4 = 0),
+    wd AS (SELECT doc_id, {_SQL_WORDS} AS w FROM base),
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, greatest(len(w) - 4, 0))) AS BIGINT) AS pos,
+             unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                         || w[i+4] || ' ' || w[i+5])) AS gram
+      FROM wd),
+    dup AS (SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY gram)
+      WHERE c >= 2),
+    dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+            FROM dpos)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           max(pos) - min(pos) + 5 AS span_words
+    FROM isl GROUP BY doc_id, k
+    """,
+)
+def span_dedup(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        duplicate_spans,
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(normalized_words(), 1, 25)).alias("text"),
+    )
+    return duplicate_spans(d.unionByName(inj), n=5)
+
+
+# Zipf rank-frequency fit per language (analytics/text.py zipf_slope):
+# least-squares slope of ln(freq) on ln(rank) over the top-80 tokens —
+# natural text sits near -1, corrupted/generated corpora drift, making the
+# slope a one-number corpus-health gate. The literal rk <= 80 plants a
+# map-side Partial WindowGroupLimit; the regression is a second
+# vocabulary-bounded agg (regr_slope on both engines).
+@_q(
+    "zipf_slope",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_SQL_WORDS}) AS token FROM documents),
+    c AS (SELECT lang, token, count(*) AS n FROM tok
+          WHERE len(token) > 0 GROUP BY lang, token),
+    r AS (SELECT lang, token, n, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, token) AS rk FROM c)
+    SELECT lang, round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           arg_min(token, rk) AS top_token
+    FROM r WHERE rk <= 80 GROUP BY lang
+    """,
+)
+def zipf_slope_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), k=80, group_col="lang")
+
+
+# In-link authority prior (analytics/graph.py host_fanin): distinct
+# referring hosts per destination + a log-damped frontier-priority prior —
+# the no-iteration stand-in for PageRank that seeds per-domain budgets.
+# Same synthetic link graph as pagerank_priority/hits_scores.
+@_q(
+    "host_fanin_prior",
+    """
+    WITH e AS (SELECT DISTINCT CAST(l_orderkey % 3000 AS BIGINT) AS src,
+                               CAST(l_partkey % 3000 AS BIGINT) AS dst
+               FROM lineitem
+               WHERE l_orderkey % 3000 <> l_partkey % 3000)
+    SELECT dst, CAST(count(*) AS BIGINT) AS fanin,
+           round(ln(1 + count(*)), 6) AS prior
+    FROM e GROUP BY dst
+    """,
+)
+def host_fanin_prior(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import host_fanin
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return host_fanin(edges)
+
+
+# Mirror/alias detection (operators/dedup.py url_alias_groups): URLs
+# serving byte-identical content collapse into one group; the group elects
+# the lexicographically-least SURT as canonical (crawl-side twin of
+# dedup_canonical — keep the best ADDRESS, stop re-fetching mirrors).
+# Synth: three URL shapes per content key (mixed-case host + unsorted
+# query, www + default port, alternate TLD); the oracle states each SURT
+# closed-form per generator residue, same ground-truth style as surt_key.
+@_q(
+    "url_alias_groups",
+    """
+    WITH p AS (SELECT o_orderkey AS k, CAST(o_custkey % 10 AS VARCHAR) AS h,
+                      o_orderkey % 3 AS m FROM orders),
+    r AS (SELECT
+      md5('payload-' || substr(sha256(CAST(k % 700 AS VARCHAR)), 1, 16)) AS checksum,
+      CASE m WHEN 0 THEN 'https://Mirror' || h || '.example.com/c/'
+                        || CAST(k AS VARCHAR) || '?utm=1&b=2'
+             WHEN 1 THEN 'http://www.mirror' || h || '.example.com:80/c/'
+                        || CAST(k AS VARCHAR)
+             ELSE 'https://m' || h || '.example.net/c/'
+                        || CAST(k AS VARCHAR) || '#frag' END AS url,
+      CASE m WHEN 0 THEN 'com,example,mirror' || h || ')/c/'
+                        || CAST(k AS VARCHAR) || '?b=2&utm=1'
+             WHEN 1 THEN 'com,example,mirror' || h || ',www)/c/'
+                        || CAST(k AS VARCHAR)
+             ELSE 'net,example,m' || h || ')/c/' || CAST(k AS VARCHAR) END AS surt
+      FROM p)
+    SELECT checksum,
+           arg_min(url, surt || chr(10) || url) AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_aliases,
+           CAST(count(DISTINCT split_part(surt, ')', 1)) AS BIGINT) AS n_hosts
+    FROM r GROUP BY checksum HAVING count(*) > 1
+    """,
+)
+def url_alias_groups_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.dedup import url_alias_groups
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    h = (F.col("o_custkey") % 10).cast("string")
+    ks = k.cast("string")
+    m = k % 3
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://Mirror"), h, F.lit(".example.com/c/"), ks,
+            F.lit("?utm=1&b=2")))
+        .when(m == 1, F.concat(
+            F.lit("http://www.mirror"), h, F.lit(".example.com:80/c/"), ks))
+        .otherwise(F.concat(
+            F.lit("https://m"), h, F.lit(".example.net/c/"), ks, F.lit("#frag")))
+    )
+    content = F.concat(
+        F.lit("payload-"),
+        F.substring(F.sha2((k % 700).cast("string"), 256), 1, 16),
+    )
+    return url_alias_groups(
+        o.select(url.alias("url"), content.alias("content"))
+    )
+
+
+# Token-budget curve (analytics/stats.py token_budget): per (lang,
+# quality-bucket) doc/token counts plus the CUMULATIVE token share kept by
+# admitting every bucket at-or-above — the planning query behind retention
+# thresholds and data-mix weights. Quality/bucket fragments are shared
+# verbatim with text_quality's green oracle so drift breaks two rows.
+@_q(
+    "corpus_token_budget",
+    """
+    WITH q AS ({quality}),
+    scored AS (
+      SELECT d.lang,
+             least(CAST(floor(q.quality * 5) AS INT), 4) AS bucket,
+             q.n_tokens
+      FROM documents d JOIN q ON d.doc_id = q.doc_id)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens,
+           CAST(sum(sum(n_tokens)) OVER (
+             PARTITION BY lang ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           round(sum(sum(n_tokens)) OVER (
+               PARTITION BY lang ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(sum(n_tokens)) OVER (PARTITION BY lang), 6) AS cum_share
+    FROM scored GROUP BY lang, bucket
+    """.format(quality=_quality_sql()),
+)
+def corpus_token_budget(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.stats import token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d)
+    scored = d.select("doc_id", "lang").join(q, "doc_id").select(
+        "lang",
+        F.least(F.floor(F.col("quality") * 5).cast("int"), F.lit(4)).alias(
+            "q_bucket"
+        ),
+        "n_tokens",
+    )
+    return token_budget(scored, group_col="lang")
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4275,6 +4483,8 @@ def meta_robots_gate(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
+    "corpus_token_budget",
     "surt_key", "meta_robots_gate",
     "charset_detect", "html_text_extract", "bigram_familiarity",
     "exif_metadata",

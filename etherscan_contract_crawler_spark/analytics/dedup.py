@@ -451,3 +451,64 @@ def cross_source_overlap(
                  F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("long").alias("n_shared_keys"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    key_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS — the word-level rendering of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"; suffix-array step replaced by an n-gram
+    inverted index, which a shuffle-based engine can actually build).
+
+    A word n-gram occurring in >= ``min_doc_freq`` DISTINCT documents marks
+    its start position as duplicated; maximal runs of consecutive duplicated
+    start positions merge into spans. Output one row per (doc, span):
+    (doc_id, span_start, span_end, span_words) — word indices, 0-based,
+    end-inclusive of the last gram's tail, span_words = span_end -
+    span_start + 1. Downstream cutters drop spans >= a length threshold.
+
+    Plan shape at 100 TB: one posexplode (gram stream, ~L rows/doc), one
+    hash agg for gram document-frequency (map-side partial on the distinct
+    (doc, gram) projection), one semi-join of the gram stream against ONLY
+    the duplicated-gram set (orders of magnitude smaller than the gram
+    universe), then islands via a single doc-partitioned window — one
+    exchange on doc_id, never a sort wider than a document.
+    ``max_doc_freq`` is the stop-gram guard: grams above it (boilerplate
+    shared by millions of docs) are EXCLUDED from span marking, trading
+    completeness on ubiquitous text for a bounded join build side — None
+    keeps the operator exact (the oracle configuration).
+    """
+    from pyspark.sql import Window
+
+    worded = docs.select(F.col(key_col).alias("doc_id"), normalized_words().alias("_w"))
+    grams = worded.select(
+        "doc_id", F.posexplode(gram_array(n)).alias("pos", "gram")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    freq = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+    )
+    if max_doc_freq is not None:
+        freq = freq.filter(F.col("df") <= max_doc_freq)
+    dpos = grams.join(freq.select("gram"), "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).alias("span_words"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_words")
+    )

@@ -223,3 +223,30 @@ def anchor_text_agg(
         )
     )
     return totals.join(top, "dst")
+
+
+def host_fanin(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """In-link authority prior per destination host: the number of DISTINCT
+    referring hosts, plus a log-damped prior for frontier priority boosts
+    (crawlers seed per-domain budgets from exactly this signal — a cheap
+    stand-in for PageRank that needs no iteration).
+
+    Output: (dst, fanin, prior) with prior = round(ln(1 + fanin), 6).
+
+    Plan shape: distinct on (src, dst) — map-side partial dedup — then one
+    hash agg on dst. Both exchanges are edge-key-sized; no window, no join.
+    Skewed mega-hosts (everyone links to them) are single hot KEYS only in
+    the final count agg, where partial aggregation already collapses them
+    per map task, so no salting is needed.
+    """
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count("*").cast("long").alias("fanin"))
+        .select(
+            "dst",
+            "fanin",
+            F.round(F.log(F.lit(1.0) + F.col("fanin")), 6).alias("prior"),
+        )
+    )

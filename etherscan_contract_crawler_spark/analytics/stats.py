@@ -20,7 +20,7 @@ no window, no shuffle beyond the single groupBy exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,47 @@ def grouped_quantiles(
         aggs.append(F.round(col, round_to).alias(name))
     aggs.append(F.count("*").alias("n_rows"))
     return df.groupBy(group_col).agg(*aggs)
+
+
+def token_budget(
+    scored: DataFrame,
+    group_col: str = "lang",
+    bucket_col: str = "q_bucket",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget curve per group: for each (group, quality-bucket), the
+    doc count, token sum, and the CUMULATIVE token share a curator keeps by
+    admitting every bucket at-or-above this one — i.e. "if the quality
+    threshold is b, how many training tokens survive per language?" — the
+    standing planning query behind retention thresholds and data-mix
+    weights.
+
+    Input is pre-scored (doc, group, bucket, n_tokens) rows; output one row
+    per (group, bucket): (group, bucket, n_docs, bucket_tokens, cum_tokens,
+    cum_share) with cum_* accumulated from the highest bucket downward and
+    share rounded to 6 decimals.
+
+    Plan shape: one hash agg to bucket granularity (map-side partials —
+    the exchange carries groups × buckets rows, never docs), then the
+    cumulative window runs over that TINY aggregate: the window partition
+    is a single group's bucket list (≤ a few dozen rows), so the "sort"
+    inside the window is negligible at any corpus size.
+    """
+    per_bucket = scored.groupBy(
+        F.col(group_col).alias("grp"), F.col(bucket_col).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("bucket_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("bucket").desc())
+    tot = Window.partitionBy("grp")
+    return per_bucket.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.round(
+            F.sum("bucket_tokens").over(w) / F.sum("bucket_tokens").over(tot), 6
+        ).alias("cum_share"),
+    )

@@ -397,3 +397,48 @@ def bigram_familiarity(
             F.round(F.col("fam_sum") / F.col("n_bigrams"), 4).alias("familiarity"),
         )
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: least-squares slope of
+    ln(frequency) on ln(rank) over the top-``k`` tokens (natural text sits
+    near -1; corrupted / machine-generated corpora drift, which makes the
+    slope a cheap corpus-health gate in a curation pipeline).
+
+    Output: (group, zipf_slope, n_terms, top_token). Slope rounded to 6
+    decimals so the float is comparison-stable across engines.
+
+    Plan shape at 100 TB: the token count is one hash agg with map-side
+    partials (vocabulary-sized output, not corpus-sized); the literal
+    ``rk <= k`` conjunct under the per-group window plants a map-side
+    Partial WindowGroupLimit below the exchange (same shape as
+    top_tokens); the regression is a second vocabulary-bounded agg via
+    regr_slope — no sort wider than a group's top-k ever exists.
+    """
+    words = docs.select(
+        F.col(group_col).alias("grp"), normalized_words(text_col).alias("_w")
+    )
+    counts = (
+        words.select("grp", F.explode("_w").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("grp", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("token"))
+    topk = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        topk.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.round(
+                F.regr_slope(F.log(F.col("n").cast("double")), F.log(F.col("rk").cast("double"))),
+                6,
+            ).alias("zipf_slope"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.min_by("token", F.col("rk")).alias("top_token"),
+        )
+    )

@@ -70,3 +70,52 @@ def unseen_with_bloom(
     definitely_new = probed.filter(~probed.bloom_maybe).drop("bloom_maybe")
     maybe_seen = probed.filter(probed.bloom_maybe).drop("bloom_maybe")
     return definitely_new.unionByName(anti_join_seen(maybe_seen, seen)).select(cols)
+
+
+def url_alias_groups(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content",
+) -> DataFrame:
+    """Mirror/alias detection: URLs serving byte-identical content collapse
+    into one alias group and the group elects a canonical URL — the
+    lexicographically-least SURT key, the same stable rule web archives use
+    (crawl-side twin of analytics dedup_canonical, which keeps the best
+    DOCUMENT; this keeps the best ADDRESS and teaches the frontier to stop
+    re-fetching known mirrors).
+
+    Output one row per multi-member group:
+    (checksum, canonical_url, n_aliases, n_hosts).
+
+    Plan shape: checksum is computed in the scan projection (the payload
+    column itself is never shuffled); ONE exchange on the 128-bit checksum;
+    min_by picks the canonical without a window; n_hosts (distinct hosts
+    per group) rides the same agg via a pre-projected host key. At 10^10
+    URLs the group-by key is effectively unique outside true mirrors, so
+    partial aggregation collapses nothing but costs nothing either — the
+    exchange is the irreducible cost and it carries (checksum, surt, host),
+    never the content bytes.
+    """
+    from ..functions.urls import surt_key
+
+    keyed = pages.select(
+        F.md5(F.col(content_col)).alias("checksum"),
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(url_col).alias("url"),
+    )
+    return (
+        keyed.groupBy("checksum")
+        .agg(
+            # order key is (surt, url) flattened to one string so the pick
+            # is total even when two URLs share a SURT (min_by over a bare
+            # surt would be tie-nondeterministic across partitionings)
+            F.min_by("url", F.concat_ws("\n", F.col("surt"), F.col("url"))).alias(
+                "canonical_url"
+            ),
+            F.count("*").cast("long").alias("n_aliases"),
+            F.count_distinct(F.split_part(F.col("surt"), F.lit(")"), F.lit(1))).cast(
+                "long"
+            ).alias("n_hosts"),
+        )
+        .filter(F.col("n_aliases") > 1)
+    )
