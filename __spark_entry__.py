@@ -4464,8 +4464,9 @@ def corpus_token_budget(spark, sf_dir):
     from etherscan_contract_crawler_spark.analytics.stats import token_budget
 
     d = _t(spark, sf_dir, "documents")
-    q = quality_score(d)
-    scored = d.select("doc_id", "lang").join(q, "doc_id").select(
+    # keep_cols rides lang through the scoring projection — no corpus-sized
+    # self-join on doc_id just to reattach a column the scan already had
+    scored = quality_score(d, keep_cols=("lang",)).select(
         "lang",
         F.least(F.floor(F.col("quality") * 5).cast("int"), F.lit(4)).alias(
             "q_bucket"

@@ -57,11 +57,21 @@ def token_count(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def quality_score(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length/punctuation/stopword features -> a [0,1] quality score.
 
     score = 0.4*min(len/500,1) + 0.3*stopword_ratio_capped + 0.3*(1-punct_ratio)
-    (deterministic, shared formula with the SQL oracle)."""
+    (deterministic, shared formula with the SQL oracle).
+
+    ``keep_cols`` rides extra input columns through the projection so
+    downstream rollups (token_budget groups by lang) never need a
+    corpus×corpus self-join on doc_id just to reattach a column the scan
+    already had."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.regexp_count(t, F.lit(TOKEN_RE))
@@ -73,6 +83,7 @@ def quality_score(docs: DataFrame, key_col: str = "doc_id", text_col: str = "tex
     score = F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6)
     return docs.select(
         F.col(key_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         n_punct.cast("long").alias("n_punct"),
