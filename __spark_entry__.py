@@ -4476,6 +4476,124 @@ def corpus_token_budget(spark, sf_dir):
     return token_budget(scored, group_col="lang")
 
 
+# CDX-style revisit dedup (operators/recrawl.py cdx_revisits): a capture
+# whose digest equals the PREVIOUS capture of the same URL stores as a
+# `revisit` pointer record, not a second payload — the WARC/CDX rule that
+# makes re-crawling unchanged pages nearly free. Synth: 300 URL keys over
+# the events stream, digest constant across runs of ~10 captures; one
+# urlkey exchange, lag + running payload_seq fused into one Window node.
+@_q(
+    "cdx_revisit_dedup",
+    """
+    WITH cap AS (
+      SELECT 'com,example' || CAST(event_id % 300 AS VARCHAR) || ')/p' AS urlkey,
+             event_id AS ts,
+             md5(CAST(event_id // 3000 AS VARCHAR)) AS digest
+      FROM events),
+    lagged AS (
+      SELECT urlkey, ts, digest,
+             lag(digest) OVER (PARTITION BY urlkey ORDER BY ts) AS prev
+      FROM cap)
+    SELECT urlkey, ts, digest,
+           (prev IS NOT NULL AND digest = prev) AS is_revisit,
+           CAST(sum(CASE WHEN prev IS NULL OR digest <> prev THEN 1 ELSE 0 END)
+                OVER (PARTITION BY urlkey ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS payload_seq
+    FROM lagged
+    """,
+)
+def cdx_revisit_dedup(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.recrawl import cdx_revisits
+
+    ev = _t(spark, sf_dir, "events")
+    caps = ev.select(
+        F.concat(
+            F.lit("com,example"), (F.col("event_id") % 300).cast("string"),
+            F.lit(")/p"),
+        ).alias("urlkey"),
+        F.col("event_id").alias("ts"),
+        F.md5(F.floor(F.col("event_id") / 3000).cast("string")).alias("digest"),
+    )
+    return cdx_revisits(caps)
+
+
+# Deterministic weighted sampling without replacement (analytics/sampling.py
+# weighted_sample, Efraimidis–Spirakis A-ES): smallest -ln(u)/w wins, u a
+# pure hash of the row key — re-runs, replays, and different executor
+# counts select the IDENTICAL sample (df.sample cannot). Executed as
+# TakeOrderedAndProject: per-partition k-heaps, no full sort, no exchange.
+@_q(
+    "weighted_sample",
+    """
+    WITH r AS (
+      SELECT p_partkey AS key,
+             CAST((p_size % 10) + 1 AS DOUBLE) AS weight,
+             -ln((CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) + 1.0) / 1152921504606846976.0)
+               / ((p_size % 10) + 1) AS es
+      FROM part)
+    SELECT key, weight, round(es, 9) AS es_key
+    FROM r ORDER BY es ASC, key ASC LIMIT 100
+    """,
+)
+def weighted_sample_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import weighted_sample
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", ((F.col("p_size") % 10) + 1).alias("w")
+    )
+    return weighted_sample(p, key_col="p_partkey", weight_col="w", k=100)
+
+
+# phash pairs -> connected components (the image-axis dedup CLUSTERING:
+# phash_neardup generates near-dup pairs, neardup_components labels the
+# mirror clusters). Integration check for the pair->component seam — the
+# oracle closes the brute-force O(n^2) pair set with a recursive CTE, same
+# ground-truth style as dedup_components.
+@_q(
+    "phash_components",
+    r"""
+    WITH RECURSIVE ph AS (
+      SELECT doc_id,
+             xor(CAST(('0x' || substr(md5(source || '|' || CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                 (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))) AS phash
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+    m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+    SELECT ph.doc_id,
+           CAST(least(ph.doc_id, coalesce(m.mn, ph.doc_id)) AS BIGINT) AS component
+    FROM ph LEFT JOIN m ON m.a = ph.doc_id
+    """,
+)
+def phash_components(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        _hash60,
+        neardup_components,
+    )
+    from etherscan_contract_crawler_spark.analytics.phash import phash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cluster_key = F.concat_ws("|", F.col("source"), (F.col("doc_id") % 50).cast("string"))
+    ph = d.select(
+        "doc_id",
+        _hash60(cluster_key)
+        .bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
+        .alias("phash"),
+    )
+    pairs = phash_neardup_pairs(ph, phash_col="phash", key_col="doc_id", max_hamming=3)
+    edges = pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return neardup_components(d.select("doc_id"), edges)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4485,7 +4603,8 @@ def corpus_token_budget(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
-    "corpus_token_budget",
+    "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",
+    "phash_components",
     "surt_key", "meta_robots_gate",
     "charset_detect", "html_text_extract", "bigram_familiarity",
     "exif_metadata",

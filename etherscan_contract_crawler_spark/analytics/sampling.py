@@ -75,3 +75,45 @@ def top_tokens(
         .filter(F.col("rk") <= F.lit(int(k)))
         .withColumnRenamed("grp", group_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u = hash-uniform(key) in
+    (0, 1] and the k rows with the LARGEST u^(1/w) — equivalently the
+    smallest -ln(u)/w, the form computed here (one ln, one divide) — are
+    the sample. Inclusion probability is proportional to weight, and the
+    draw is a pure function of the ROW (same reasoning as
+    stratified_sample: df.sample's per-partition seeding would change the
+    selection under repartitioning; this never does).
+
+    Output: (key, weight, es_key) for the k winners, es_key rounded to 9
+    decimals for display (selection uses the unrounded value).
+
+    Plan shape: projection + global top-k, which Spark executes as
+    TakeOrderedAndProject — per-partition heaps of size k, then a k-sized
+    merge on the driver; no sort, no exchange of the full table. At any
+    corpus size the moving data is partitions × k rows.
+    """
+    # 60-bit md5 prefix -> uniform in (0, 1]; +1 keeps ln() finite at 0
+    u = (
+        (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+         .cast("double") + 1.0)
+        / F.lit(float(1 << 60))
+    )
+    es = -F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("double").alias("weight"),
+        es.alias("_es"),
+    )
+    return (
+        ranked.orderBy(F.col("_es").asc(), F.col("key").asc())
+        .limit(k)
+        .select("key", "weight", F.round("_es", 9).alias("es_key"))
+    )

@@ -72,3 +72,41 @@ def recrawl_lanes(
         .otherwise(F.lit("weekly"))
     )
     return per_url.select("url_id", "n_obs", "n_changes", lane.alias("lane"))
+
+
+def cdx_revisits(
+    captures: DataFrame,
+    key_col: str = "urlkey",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX-style revisit deduplication — the storage-side twin of
+    recrawl_lanes: a capture whose payload digest equals the PREVIOUS
+    capture of the same URL is stored as a ``revisit`` record (a pointer to
+    the prior payload), not a second payload — the rule web archives
+    (WARC `revisit` records, CDX `warc/revisit`) use to keep re-crawls of
+    unchanged pages nearly free.
+
+    Output one row per capture: (urlkey, ts, digest, is_revisit,
+    payload_seq) — payload_seq numbers the distinct stored payloads per
+    URL (revisits reference payload_seq of the capture they point at,
+    which is their own value here since runs share it).
+
+    Plan shape: ONE exchange on urlkey + a per-URL window (lag + running
+    sum over the same sort) — Spark fuses both into a single Window node,
+    so the capture log is shuffled exactly once no matter how long the
+    history; per-URL history length bounds the window buffer, never the
+    corpus.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(digest_col).over(w)
+    is_new = prev.isNull() | (F.col(digest_col) != prev)
+    return captures.select(
+        F.col(key_col).alias("urlkey"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        (~is_new).alias("is_revisit"),
+        F.sum(is_new.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("payload_seq"),
+    )

@@ -127,3 +127,63 @@ def test_span_dedup_plan_has_partial_windowgrouplimit_free_shape(spark):
     plan = duplicate_spans(docs, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdx_revisits_runs_and_payload_seq(spark):
+    caps = spark.createDataFrame(
+        [
+            # url A: d1 d1 d2 d1 -> new, revisit, new, new (run broken)
+            ("A", 1, "d1"), ("A", 2, "d1"), ("A", 3, "d2"), ("A", 4, "d1"),
+            # url B: single capture, never a revisit
+            ("B", 1, "d9"),
+        ],
+        ["urlkey", "ts", "digest"],
+    )
+    from etherscan_contract_crawler_spark.operators.recrawl import cdx_revisits
+
+    out = {(r.urlkey, r.ts): r for r in cdx_revisits(caps).collect()}
+    assert [out[("A", t)].is_revisit for t in (1, 2, 3, 4)] == [
+        False, True, False, False]
+    assert [out[("A", t)].payload_seq for t in (1, 2, 3, 4)] == [1, 1, 2, 3]
+    assert out[("B", 1)].is_revisit is False and out[("B", 1)].payload_seq == 1
+
+
+def test_cdx_revisits_single_window_exchange(spark):
+    caps = spark.createDataFrame([("A", 1, "d")], ["urlkey", "ts", "digest"])
+    from etherscan_contract_crawler_spark.operators.recrawl import cdx_revisits
+
+    plan = cdx_revisits(caps)._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum share one sort/partition spec -> ONE Window node,
+    # one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from etherscan_contract_crawler_spark.analytics.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["key", "w"])
+    s1 = weighted_sample(df, "key", "w", k=60)
+    got1 = sorted(r.key for r in s1.collect())
+    # identical under a different partitioning (determinism, the property
+    # df.sample lacks)
+    got2 = sorted(
+        r.key for r in weighted_sample(df.repartition(17), "key", "w", k=60).collect()
+    )
+    assert got1 == got2
+    # weight bias: heavy keys carry 5000/6950 of total weight, so E[heavy
+    # among 60] ~ 43 (this fixed hash draw gives 35); an UNWEIGHTED sample
+    # would pick 60 * 50/2000 = 1.5 — assert far above that
+    heavy = sum(1 for k in got1 if k < 50)
+    assert heavy >= 25
+
+
+def test_weighted_sample_plan_is_topk_not_full_sort(spark):
+    from etherscan_contract_crawler_spark.analytics.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("key"), F.lit(1.0).alias("w")
+    )
+    plan = weighted_sample(df, "key", "w", k=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
