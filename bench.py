@@ -82,6 +82,13 @@ HEADLINE = [
     "boilerplate_strip",
     "bigram_familiarity",
     "exif_metadata",
+    "span_dedup",
+    "zipf_slope",
+    "url_alias_groups",
+    "corpus_token_budget",
+    "cdx_revisit_dedup",
+    "weighted_sample",
+    "phash_components",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
