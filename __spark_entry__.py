@@ -4594,6 +4594,162 @@ def phash_components(spark, sf_dir):
     return neardup_components(d.select("doc_id"), edges)
 
 
+# MinHash estimator quality as data (the LSH analogue of ann_*_recall):
+# for every LSH candidate pair, the signature-match estimate of Jaccard
+# (matching components / 12) next to the EXACT shingle Jaccard and the
+# absolute error — making the sketch's accuracy driver-visible instead of
+# pytest-only. All hashes are md5-derived, so the oracle re-derives both
+# numbers from the same fragments the sig/pairs queries already use
+# (drift in either breaks three rows).
+@_q(
+    "minhash_est_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id,
+             array_to_string(list_slice({_SQL_WORDS}, 1,
+               greatest((len({_SQL_WORDS}) * 7) // 10, 1)), ' ') AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM base))),
+    mh AS (
+      SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS mh
+      FROM sh, range(0, 12) t(j) GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 3 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
+      FROM mh GROUP BY doc_id, j // 3),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, bh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 12.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b AND y.j = x.j
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           round(c.c / (sa.n_sh + sb.n_sh - c.c), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                     - round(c.c / (sa.n_sh + sb.n_sh - c.c), 6)), 6) AS abs_err
+    FROM est e
+    JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def minhash_est_quality(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import normalized_words
+
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    # truncated mirrors (70% word prefix) plant a graded pair population:
+    # Jaccard ~0.7 vs the original -> some bands collide, some don't, so
+    # the estimator is exercised across its range, not just at 1.0
+    w = normalized_words()
+    mir = d0.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                w, F.lit(1),
+                F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    d = d0.unionByName(mir)
+    sigs = minhash_signatures(d, n_hashes=12)
+    cand = minhash_lsh_pairs(d, n_hashes=12, bands=4).select("doc_a", "doc_b")
+    est = (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+                / F.lit(12.0),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = jaccard_pairs(d, n=3, threshold=0.0).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+# Sitemap-driven refresh set (the polling crawler's second integration
+# seam, after frontier_refill): the REAL sitemap parser's entries join the
+# capture log; a URL refetches when it was never captured ('new') or its
+# declared lastmod postdates the last fetch ('stale') — lastmod is the
+# publisher's change signal, so this is the cheap alternative to
+# re-crawling on a timer. ISO dates compare lexicographically on both
+# engines; one hash join on loc, fresh URLs never leave it.
+@_q(
+    "sitemap_refresh_set",
+    f"""
+    WITH {_SITEMAP_CTE},
+    hist AS (
+      SELECT 'https://d' || CAST(p_partkey % 40 AS VARCHAR) || '.example.com/p/'
+               || CAST(p_partkey AS VARCHAR) AS loc,
+             '2026-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST((p_partkey * 7) % 28 + 1 AS VARCHAR), 2, '0')
+               AS last_fetch
+      FROM part WHERE p_partkey % 3 <> 0)
+    SELECT e.loc, e.lastmod, h.last_fetch,
+           CASE WHEN h.loc IS NULL THEN 'new' ELSE 'stale' END AS reason
+    FROM ent e LEFT JOIN hist h ON h.loc = e.loc
+    WHERE h.loc IS NULL OR e.lastmod > h.last_fetch
+    """,
+)
+def sitemap_refresh_set(spark, sf_dir):
+    from etherscan_contract_crawler_spark.sources.sitemap import (
+        parse_sitemap_entries,
+    )
+
+    ent = parse_sitemap_entries(_sitemap_docs(spark, sf_dir))
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    hist = p.filter(pk % 3 != 0).select(
+        F.concat(
+            F.lit("https://d"), (pk % 40).cast("string"),
+            F.lit(".example.com/p/"), pk.cast("string"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2026-"), F.lpad((pk % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad(((pk * 7) % 28 + 1).cast("string"), 2, "0"),
+        ).alias("last_fetch"),
+    )
+    j = ent.select("loc", "lastmod").join(hist, "loc", "left")
+    return j.filter(
+        F.col("last_fetch").isNull() | (F.col("lastmod") > F.col("last_fetch"))
+    ).select(
+        "loc", "lastmod", "last_fetch",
+        F.when(F.col("last_fetch").isNull(), F.lit("new"))
+        .otherwise(F.lit("stale"))
+        .alias("reason"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4604,7 +4760,7 @@ _NEWEST_FIRST = [
     # round 4
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
     "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",
-    "phash_components",
+    "phash_components", "minhash_est_quality", "sitemap_refresh_set",
     "surt_key", "meta_robots_gate",
     "charset_detect", "html_text_extract", "bigram_familiarity",
     "exif_metadata",
