@@ -4750,6 +4750,126 @@ def sitemap_refresh_set(spark, sf_dir):
     )
 
 
+# Publisher-declared canonical (functions/html.py rel_canonical): the
+# <link rel="canonical"> target — pages declaring a DIFFERENT canonical
+# are duplicates by assertion, the zero-cost dedup tier above checksum/
+# minhash (credit content to the canonical, skip indexing the duplicate).
+# Synth covers both attribute orders, quote styles, bare values, uppercase
+# tag/scheme/host (is_self must survive canonicalization), a relative
+# href, a no-link page, and a stylesheet decoy; the oracle states the
+# expected struct closed-form per residue.
+@_q(
+    "rel_canonical",
+    """
+    SELECT o_orderkey AS url_id,
+           CASE o_orderkey % 6
+             WHEN 0 THEN 'https://site' || CAST(o_custkey % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 1 THEN 'https://site' || CAST(o_custkey % 20 AS VARCHAR)
+               || '.example.com/canon/' || CAST(o_orderkey % 100 AS VARCHAR)
+             WHEN 2 THEN 'HTTPS://SITE' || CAST(o_custkey % 20 AS VARCHAR)
+               || '.EXAMPLE.COM/p/' || CAST(o_orderkey AS VARCHAR)
+             WHEN 5 THEN '/p/' || CAST(o_orderkey AS VARCHAR)
+             ELSE NULL END AS canonical_url,
+           CASE o_orderkey % 6
+             WHEN 0 THEN true WHEN 1 THEN false WHEN 2 THEN true
+             WHEN 5 THEN false ELSE NULL END AS is_self
+    FROM orders
+    """,
+)
+def rel_canonical_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import rel_canonical
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 6
+    d = (F.col("o_custkey") % 20).cast("string")
+    ks = k.cast("string")
+    page_url = F.concat(
+        F.lit("https://site"), d, F.lit(".example.com/p/"), ks
+    )
+    body = (
+        # 0: plain self-canonical, double quotes
+        F.when(m == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://site'), d,
+            F.lit(".example.com/p/"), ks, F.lit('">')))
+        # 1: attribute order swapped, single quotes, consolidation target
+        .when(m == 1, F.concat(
+            F.lit("<link href='https://site"), d, F.lit(".example.com/canon/"),
+            (k % 100).cast("string"), F.lit("' rel='canonical'>")))
+        # 2: uppercase tag + bare attr values + scheme/host case — is_self
+        # must still be true after canonicalization
+        .when(m == 2, F.concat(
+            F.lit("<LINK REL=CANONICAL HREF=HTTPS://SITE"), d,
+            F.lit(".EXAMPLE.COM/p/"), ks, F.lit(">")))
+        # 5: relative href — surfaced raw, never self
+        .when(m == 5, F.concat(
+            F.lit('<link rel="canonical" href="/p/'), ks, F.lit('">')))
+        # 4: stylesheet decoy must NOT match; 3: no link at all
+        .when(m == 4, F.lit('<link rel="stylesheet" href="/css/x.css">'))
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    rc = rel_canonical(body, page_url)
+    return o.select(
+        k.alias("url_id"),
+        rc.canonical_url.alias("canonical_url"),
+        rc.is_self.alias("is_self"),
+    )
+
+
+# Per-doc duplicated-text coverage (analytics/dedup.py duplicate_coverage):
+# the cut signal distilled from span_dedup — dup_words counts DISTINCT word
+# positions covered by any cross-doc duplicated 5-gram (exact even where
+# maximal spans overlap by < n), dup_frac feeds the drop/trim threshold.
+# Same injected 25-word-prefix mirrors as span_dedup, so the two oracles
+# cross-check the same gram universe at different granularities.
+@_q(
+    "doc_dup_fraction",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id,
+             array_to_string(list_slice({_SQL_WORDS}, 1, 25), ' ') AS text
+      FROM documents WHERE doc_id % 4 = 0),
+    wd AS (SELECT doc_id, {_SQL_WORDS} AS w FROM base),
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, greatest(len(w) - 4, 0))) AS BIGINT) AS pos,
+             unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                         || w[i+4] || ' ' || w[i+5])) AS gram
+      FROM wd),
+    dup AS (SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY gram)
+      WHERE c >= 2),
+    covered AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_words FROM (
+        SELECT DISTINCT g.doc_id, u.wi
+        FROM grams g JOIN dup USING (gram),
+             unnest(range(g.pos, g.pos + 5)) u(wi))
+      GROUP BY doc_id)
+    SELECT wd.doc_id, CAST(len(wd.w) AS BIGINT) AS n_words,
+           coalesce(c.dup_words, 0) AS dup_words,
+           round(coalesce(c.dup_words, 0)
+                 / CAST(greatest(len(wd.w), 1) AS DOUBLE), 6) AS dup_frac
+    FROM wd LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def doc_dup_fraction(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        duplicate_coverage,
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(normalized_words(), 1, 25)).alias("text"),
+    )
+    return duplicate_coverage(d.unionByName(inj), n=5)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4761,6 +4881,7 @@ _NEWEST_FIRST = [
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
     "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",
     "phash_components", "minhash_est_quality", "sitemap_refresh_set",
+    "rel_canonical", "doc_dup_fraction",
     "surt_key", "meta_robots_gate",
     "charset_detect", "html_text_extract", "bigram_familiarity",
     "exif_metadata",

@@ -485,6 +485,35 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    dpos = duplicated_positions(docs, n, key_col, min_doc_freq, max_doc_freq)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).alias("span_words"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_words")
+    )
+
+
+def duplicated_positions(
+    docs: DataFrame,
+    n: int = 5,
+    key_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos) start positions of word n-grams occurring in >=
+    ``min_doc_freq`` distinct documents — the shared core of
+    duplicate_spans (islands -> spans) and duplicate_coverage (distinct
+    covered words). Plan shape documented on duplicate_spans: the gram
+    stream never shuffles for the probe; the dup-gram set comes back as a
+    broadcast semi-join."""
     worded = docs.select(F.col(key_col).alias("doc_id"), normalized_words().alias("_w"))
     grams = worded.select(
         "doc_id", F.posexplode(gram_array(n)).alias("pos", "gram")
@@ -498,17 +527,56 @@ def duplicate_spans(
     )
     if max_doc_freq is not None:
         freq = freq.filter(F.col("df") <= max_doc_freq)
-    dpos = grams.join(freq.select("gram"), "gram", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dpos.select(
-        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    return grams.join(freq.select("gram"), "gram", "left_semi")
+
+
+def duplicate_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    key_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-text coverage — the CUT SIGNAL distilled
+    from duplicate_spans: dup_words counts the DISTINCT word positions
+    covered by any cross-document duplicated n-gram (exact even where
+    maximal spans overlap by < n words, where a sum over spans would
+    double-count), dup_frac = dup_words / n_words. Downstream curation
+    drops or trims docs above a fraction threshold (the document-level
+    form of exact-substring dedup).
+
+    Output: (doc_id, n_words, dup_words, dup_frac), one row per input doc
+    (0 / 0.0 for docs with no duplicated gram).
+
+    Plan shape: duplicated_positions' audited core, then an n× bounded
+    explode of ONLY the duplicated starts (not the corpus), one distinct +
+    count per doc, and a join back to the per-doc word counts — doc-keyed
+    exchanges only.
+    """
+    sizes = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(normalized_words()).cast("long").alias("n_words"),
+    )
+    dpos = duplicated_positions(docs, n, key_col, min_doc_freq, max_doc_freq)
+    covered = (
+        dpos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("wi"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_words"))
     )
     return (
-        isl.groupBy("doc_id", "_isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (n - 1)).alias("span_end"),
-            (F.max("pos") - F.min("pos") + n).alias("span_words"),
+        sizes.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
         )
-        .select("doc_id", "span_start", "span_end", "span_words")
     )

@@ -116,3 +116,51 @@ def meta_robots(headers: Column | str, body: Column | str) -> Column:
         _directive(combined, "noindex").alias("noindex"),
         _directive(combined, "nofollow").alias("nofollow"),
     )
+
+
+#: <link ... rel=canonical ... href=...> — two orderings, RE2-safe (no
+#: backrefs): quoted or bare attribute values, case-insensitive.
+_CANONICAL_REL_HREF_RE = (
+    r"(?i)<link\b[^>]*\brel\s*=\s*['\"]?canonical['\"]?[^>]*"
+    r"\bhref\s*=\s*['\"]?([^'\"\s>]+)"
+)
+_CANONICAL_HREF_REL_RE = (
+    r"(?i)<link\b[^>]*\bhref\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
+    r"\brel\s*=\s*['\"]?canonical"
+)
+
+
+def rel_canonical(body: Column | str, page_url: Column | str) -> Column:
+    """``<link rel="canonical">`` target as a struct
+    ``(canonical_url string, is_self boolean)``.
+
+    The canonical link is the publisher's own dedup signal: pages that
+    declare a DIFFERENT canonical are duplicates by assertion — a crawler
+    credits content to the canonical URL and can skip indexing the
+    duplicate without any content comparison (the zero-cost first tier
+    above checksum/minhash dedup). Attribute order free (rel before or
+    after href), case-insensitive, single/double/no quotes;
+    ``canonical_url`` is NULL when the page declares none (or only decoy
+    ``<link>`` tags). ``is_self`` compares both sides AFTER
+    canonicalize_url, so trivial self-references (scheme/host case,
+    default port) don't masquerade as cross-URL duplicates; it is NULL
+    when no canonical is declared.
+
+    Pure Column regex projection (RE2-safe — two fixed orderings instead
+    of backrefs — zero shuffle, codegen), same scan-speed contract as
+    meta_robots.
+    """
+    from .urls import canonicalize_url
+
+    b = F.col(body) if isinstance(body, str) else body
+    u = F.col(page_url) if isinstance(page_url, str) else page_url
+    href1 = F.regexp_extract(b, _CANONICAL_REL_HREF_RE, 1)
+    href2 = F.regexp_extract(b, _CANONICAL_HREF_REL_RE, 1)
+    href = F.when(href1 != "", href1).when(href2 != "", href2)
+    canon = canonicalize_url(href)
+    return F.struct(
+        href.alias("canonical_url"),
+        F.when(
+            href.isNotNull(), canon == canonicalize_url(u)
+        ).alias("is_self"),
+    )

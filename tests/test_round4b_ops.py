@@ -187,3 +187,59 @@ def test_weighted_sample_plan_is_topk_not_full_sort(spark):
     plan = weighted_sample(df, "key", "w", k=10)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rel_canonical_orderings_quotes_and_decoys(spark):
+    from etherscan_contract_crawler_spark.functions.html import rel_canonical
+
+    rows = [
+        # rel-then-href, self after host-case canonicalization
+        (1, '<link rel="canonical" href="HTTPS://EX.COM/a">', "https://ex.com/a"),
+        # href-then-rel, different target
+        (2, "<link href='https://ex.com/b' rel='canonical'>", "https://ex.com/a"),
+        # stylesheet decoy + a real canonical later in the page
+        (3, '<link rel="stylesheet" href="/x.css">'
+            '<link rel="canonical" href="https://ex.com/c">', "https://ex.com/c"),
+        # no declaration
+        (4, "<p>none</p>", "https://ex.com/d"),
+        # canonical token must not match inside another word
+        (5, '<link rel="noncanonicalish" href="https://ex.com/e">',
+         "https://ex.com/e"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "body", "url"])
+    out = {
+        r.i: r
+        for r in df.select(
+            "i", rel_canonical("body", "url").alias("c")
+        ).select("i", "c.canonical_url", "c.is_self").collect()
+    }
+    assert out[1].canonical_url == "HTTPS://EX.COM/a" and out[1].is_self is True
+    assert out[2].canonical_url == "https://ex.com/b" and out[2].is_self is False
+    assert out[3].canonical_url == "https://ex.com/c" and out[3].is_self is True
+    assert out[4].canonical_url is None and out[4].is_self is None
+    assert out[5].canonical_url is None
+
+
+def test_duplicate_coverage_exact_under_span_overlap(spark):
+    from etherscan_contract_crawler_spark.analytics.dedup import duplicate_coverage
+
+    # doc 1 vs doc 2: grams at starts 0..1 and 5 are duplicated (n=4).
+    # Maximal spans [0,4] and [5,8] meet at the boundary; covered distinct
+    # words = {0..4} ∪ {5..8} = 9, while doc length is 12 — the distinct
+    # count must not double-count had they overlapped.
+    common = "a b c d e"           # starts 0,1 cover words 0..4
+    tail = "p q r s"               # start 5 covers words 5..8
+    d1 = f"{common} {tail} x y z"
+    d2 = f"{common} {tail} q r s"  # different tail filler
+    docs = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicate_coverage(docs, n=4).collect()}
+    assert out[1].n_words == 12
+    assert out[1].dup_words == 9
+    assert abs(out[1].dup_frac - round(9 / 12, 6)) < 1e-9
+    # a doc with no duplicated gram still gets a row with zeros
+    solo = spark.createDataFrame(
+        [(1, "unique words only here"), (2, "other unique text there")],
+        ["doc_id", "text"],
+    )
+    zout = {r.doc_id: r for r in duplicate_coverage(solo, n=4).collect()}
+    assert zout[1].dup_words == 0 and zout[1].dup_frac == 0.0
