@@ -79,6 +79,7 @@ def cdx_revisits(
     key_col: str = "urlkey",
     ts_col: str = "ts",
     digest_col: str = "digest",
+    obs_col: str | None = None,
 ) -> DataFrame:
     """CDX-style revisit deduplication — the storage-side twin of
     recrawl_lanes: a capture whose payload digest equals the PREVIOUS
@@ -97,8 +98,15 @@ def cdx_revisits(
     so the capture log is shuffled exactly once no matter how long the
     history; per-URL history length bounds the window buffer, never the
     corpus.
+
+    ``obs_col`` (a unique observation id, same convention as
+    recrawl_lanes) breaks same-timestamp ties so the lag order — and
+    therefore which capture of a tied pair reads as "the revisit" — is
+    total under any partitioning; omit it only when ``ts_col`` is unique
+    per URL (the entry-query synth guarantees that).
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    order = [ts_col] if obs_col is None else [ts_col, obs_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(digest_col).over(w)
     is_new = prev.isNull() | (F.col(digest_col) != prev)
     return captures.select(

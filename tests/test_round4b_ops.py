@@ -243,3 +243,21 @@ def test_duplicate_coverage_exact_under_span_overlap(spark):
     )
     zout = {r.doc_id: r for r in duplicate_coverage(solo, n=4).collect()}
     assert zout[1].dup_words == 0 and zout[1].dup_frac == 0.0
+
+
+def test_cdx_revisits_obs_tiebreak_total_order(spark):
+    from etherscan_contract_crawler_spark.operators.recrawl import cdx_revisits
+
+    # two captures share ts=5; obs id orders them: obs 1 (d1) then obs 2
+    # (d2) -> the d1 capture is a revisit of ts=1, the d2 one is new
+    caps = spark.createDataFrame(
+        [("A", 1, 0, "d1"), ("A", 5, 2, "d2"), ("A", 5, 1, "d1")],
+        ["urlkey", "ts", "obs", "digest"],
+    )
+    out = {
+        (r.ts, r.digest): r
+        for r in cdx_revisits(caps, obs_col="obs").collect()
+    }
+    assert out[(5, "d1")].is_revisit is True   # follows ts=1 d1
+    assert out[(5, "d2")].is_revisit is False  # digest changed
+    assert out[(5, "d2")].payload_seq == 2
