@@ -4870,6 +4870,163 @@ def doc_dup_fraction(spark, sf_dir):
     return duplicate_coverage(d.unionByName(inj), n=5)
 
 
+# SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic dedup: the
+# pair scan runs only WITHIN a coarse-centroid cluster (one shuffle on cid,
+# never all-pairs; n_centroids is the cost knob, like IVF cells). Scaled
+# copies (cosine exactly 1.0) are injected so dup pairs exist at every SF;
+# centroids = 16 lowest-id vectors so the oracle re-derives the identical
+# assignment (production seeds with ivf_centroids k-means — same plan).
+@_q(
+    "semdedup_prune",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 1000000000000 AS vec_id,
+             CAST(list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300 AND vec_id % 7 = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    asg AS (SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                        c.cid ASC) AS r
+      FROM e CROSS JOIN c) WHERE r = 1),
+    m AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e ON e.vec_id = a.vec_id),
+    d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b
+          ON a.cid = b.cid AND a.vec_id > b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95)
+    SELECT m.vec_id, m.cid, (d.vec_id IS NOT NULL) AS pruned
+    FROM m LEFT JOIN d ON d.vec_id = m.vec_id
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    copies = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2).cast("float")).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(copies)
+    return semantic_dedup(corpus, n_centroids=16, threshold=0.95)
+
+
+# Product-quantization codes — the compression primitive under IVFPQ /
+# billion-scale ANN: each vector's m subvectors snap to per-subspace
+# codewords (L2 argmin). Codebook = subvectors of the 16 lowest-id vectors
+# (oracle-reproducible); encode plan = one KB-sized broadcast join + a
+# per-(vector, subspace) argmin window — no corpus shuffle.
+@_q(
+    "pq_codes",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(len(embedding) / 4 AS INT) AS d
+               FROM embeddings WHERE vec_id < 200),
+    s AS (SELECT vec_id, CAST(sub AS INT) AS sub,
+                 list_slice(v, CAST(sub AS INT) * d + 1,
+                            (CAST(sub AS INT) + 1) * d) AS sv
+          FROM e, range(0, 4) t(sub)),
+    cb AS (SELECT sub, vec_id AS code, sv AS cw FROM s
+           WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+    scored AS (SELECT s.vec_id, s.sub, cb.code,
+                      round(list_distance(s.sv, cb.cw), 6) AS dist
+               FROM s JOIN cb USING (sub))
+    SELECT vec_id, sub, code, dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY dist ASC, code ASC) AS r FROM scored)
+    WHERE r = 1
+    """,
+)
+def pq_codes(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import pq_encode
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return pq_encode(e, m=4, n_codes=16)
+
+
+# Asymmetric n-gram containment (Broder 1997's second resemblance): the
+# quote / wrapped-boilerplate detector Jaccard misses — a short doc fully
+# embedded in a long one has low Jaccard but containment 1.0. Injected
+# 30-word prefixes guarantee such pairs at every SF. Same inverted-index
+# join + stop-shingle guard as jaccard_pairs: shingle-bucketed, never
+# all-pairs.
+@_q(
+    "containment_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id,
+             array_to_string(list_slice({_SQL_WORDS}, 1, 30), ' ') AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 6 = 0),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM base))),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b USING (shingle)
+               WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(c / sa.n_sh, 6) AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE round(c / sa.n_sh, 6) >= 0.6
+    """,
+)
+def containment_pairs_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        containment_pairs,
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id", "text")
+    inj = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(normalized_words(), 1, 30)).alias("text"),
+    )
+    return containment_pairs(d.unionByName(inj), n=3, threshold=0.6)
+
+
+# Per-host dominant language + per-doc agreement flag — the language-
+# targeted-crawl steering signal (should this host stay in an en-only
+# frontier?). Two hash aggs + a broadcast join on the host-sized majority
+# table; counts get map-side partials, the doc side never shuffles.
+@_q(
+    "host_lang_majority",
+    """
+    WITH counts AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source, lang),
+    maj AS (SELECT source, lang AS majority_lang, n AS majority_n FROM (
+      SELECT source, lang, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang ASC) AS r
+      FROM counts) WHERE r = 1)
+    SELECT d.doc_id, d.source, d.lang, m.majority_lang, m.majority_n,
+           (d.lang = m.majority_lang) AS matches_majority
+    FROM documents d JOIN maj m USING (source)
+    """,
+)
+def host_lang_majority(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    maj = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("source", F.col("lang").alias("majority_lang"), F.col("n").alias("majority_n"))
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(F.broadcast(maj), "source")
+        .select(
+            "doc_id", "source", "lang", "majority_lang", "majority_n",
+            (F.col("lang") == F.col("majority_lang")).alias("matches_majority"),
+        )
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -4878,6 +5035,7 @@ def doc_dup_fraction(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
     "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",
     "phash_components", "minhash_est_quality", "sitemap_refresh_set",

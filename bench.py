@@ -89,6 +89,10 @@ HEADLINE = [
     "cdx_revisit_dedup",
     "weighted_sample",
     "phash_components",
+    "semdedup_prune",
+    "pq_codes",
+    "containment_pairs",
+    "host_lang_majority",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -580,3 +580,50 @@ def duplicate_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    key_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: |A∩B| / |A| — the quote /
+    wrapped-boilerplate detector Jaccard misses (a short doc fully embedded
+    in a long one has low Jaccard but containment 1.0; Broder 1997 defines
+    both resemblances side by side).
+
+    Directional: one row per ordered (doc_a, doc_b) with
+    containment(a in b) >= threshold, doc_a != doc_b. Same inverted-index
+    join + ``max_doc_freq`` stop-shingle guard as :func:`jaccard_pairs` —
+    the candidate set is shingle-bucketed, never all-pairs.
+    """
+    sh = shingle_df(docs, n, key_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    idx = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle", "left_semi")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .withColumn("containment", F.round(F.col("common") / F.col("na"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

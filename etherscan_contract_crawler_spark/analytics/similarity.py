@@ -312,3 +312,151 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest coarse centroid, then prune any vector whose
+    cosine to a LOWER-id member of the same cluster reaches ``threshold``.
+
+    The scale story is the whole point: the quadratic pair scan runs only
+    WITHIN a cluster (one shuffle on ``cid``), never across the corpus —
+    at 10^10 rows the per-cluster bucket size is corpus/n_centroids and
+    ``n_centroids`` is the cost knob, exactly like IVF cells. Centroids here
+    are the ``n_centroids`` lowest-id vectors so the DuckDB oracle can
+    re-derive the identical assignment; a production run would seed them
+    with ``ivf_centroids`` (k-means) instead — the plan shape is unchanged.
+
+    Deterministic: similarities rounded to ``round_digits`` before both the
+    argmax assignment (ties -> lowest cid) and the prune comparison.
+
+    Returns one row per input vector: (vec_id, cid, pruned).
+    """
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = (
+        e.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+        .withColumn("_cn", _norm(F.col("cv")))
+    )
+    scored = (
+        e.withColumn("_vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn")), round_digits),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    # the vector and its norm RIDE THROUGH the argmax window — re-joining
+    # the corpus by id afterwards would cost a second full-width exchange
+    # plus a SortMergeJoin for data the window already holds
+    m = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vid", "cid", "v", F.col("_vn").alias("_n"))
+    )
+    asg = m.select("vid", "cid")
+    a, b = m.alias("a"), m.alias("b")
+    pruned_ids = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") > F.col("b.vid")),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+        .withColumn("_p", F.lit(True))
+    )
+    return (
+        asg.join(pruned_ids, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid"),
+            F.coalesce(F.col("_p"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    subvectors and assign each subvector to its nearest codeword (L2) in a
+    per-subspace codebook — the memory-compression primitive under IVFPQ /
+    DiskANN-style billion-scale ANN (a D-dim float vector becomes m bytes).
+
+    Codebooks here are the subvectors of the ``n_codes`` lowest-id vectors
+    (deterministic, oracle-reproducible); production would k-means each
+    subspace — same plan. The encode plan is one broadcast join (codebook is
+    m*n_codes rows) + a per-(vector, subspace) argmin window: embarrassingly
+    parallel, no shuffle of the corpus side beyond the window's local sort,
+    and at 10^10 rows the codebook broadcast is KBs.
+
+    Returns (vec_id, sub, code, dist) — flat rows, one per subspace.
+    """
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    dsub = (F.size("v") / m).cast("int")
+    subs = e.select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("v"),
+    ).select(
+        "vid",
+        F.col("sub").cast("int").alias("sub"),
+        F.slice(F.col("v"), F.col("sub") * dsub + 1, dsub).alias("sv"),
+    )
+    cb = (
+        e.orderBy("vid")
+        .limit(n_codes)
+        .select(F.col("vid").alias("code"), F.col("v").alias("cv"))
+        .select(
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("cv"),
+        )
+        .select(
+            "code",
+            F.col("sub").cast("int").alias("sub"),
+            F.slice(
+                F.col("cv"), F.col("sub") * (F.size("cv") / m).cast("int") + 1, (F.size("cv") / m).cast("int")
+            ).alias("cw"),
+        )
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.col("cw"),
+                lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    scored = subs.join(F.broadcast(cb), "sub").withColumn("dist", F.round(l2, round_digits))
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("vid").alias(id_col), "sub", "code", "dist")
+    )

@@ -1,0 +1,104 @@
+"""Round-4 late additions, batch 3: SemDeDup cluster-pruning, product-
+quantization codes, asymmetric containment, host language majority —
+semantics the per-query DuckDB oracles can't pin alone (prune keeps the
+lowest id, codebook members self-encode at distance 0, containment is
+directional, majority tie-break)."""
+
+from pyspark.sql import functions as F
+
+from etherscan_contract_crawler_spark.analytics.dedup import containment_pairs
+from etherscan_contract_crawler_spark.analytics.similarity import (
+    pq_encode,
+    semantic_dedup,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_semantic_dedup_prunes_higher_id_copy_keeps_lowest(spark):
+    # 4 orthogonal-ish directions + a scaled copy of vec 0 (cosine 1.0)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [2.0, 0.0, 0.0, 0.0]),  # same direction as 0 -> same cluster
+    ]
+    out = {
+        r.vec_id: (r.cid, r.pruned)
+        for r in semantic_dedup(_vecs(spark, rows), n_centroids=4, threshold=0.95).collect()
+    }
+    assert len(out) == 5  # one row per input vector
+    assert out[10] == (0, True)  # copy lands in cluster 0, pruned
+    assert out[0] == (0, False)  # the lowest id of the dup pair survives
+    assert not any(p for _, (c, p) in out.items() if _ != 10)  # only the copy
+
+
+def test_semantic_dedup_cross_cluster_dup_not_pruned(spark):
+    # identical vectors forced into DIFFERENT clusters are not compared:
+    # pruning is within-cluster by design (the SemDeDup cost/recall trade)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 1.0]),  # dup of 1, same cluster -> pruned
+    ]
+    out = {r.vec_id: r.pruned for r in semantic_dedup(_vecs(spark, rows), n_centroids=2, threshold=0.99).collect()}
+    assert out == {0: False, 1: False, 2: True}
+
+
+def test_pq_codebook_members_self_encode_at_zero(spark):
+    rows = [
+        (0, [1.0, 0.0, 2.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 3.0]),
+        (2, [0.9, 0.1, 1.8, 0.1]),  # nearest to 0 in both subspaces
+    ]
+    out = pq_encode(_vecs(spark, rows), m=2, n_codes=2).collect()
+    by = {(r.vec_id, r.sub): (r.code, r.dist) for r in out}
+    assert len(by) == 6  # 3 vectors x 2 subspaces
+    # codebook members (with distinct subvectors) self-encode at distance 0
+    for vid in (0, 1):
+        for sub in (0, 1):
+            assert by[(vid, sub)][0] == vid and by[(vid, sub)][1] == 0.0
+    # vec 2: sub 0 = [0.9, 0.1] nearest [1, 0]; sub 1 = [1.8, 0.1] nearest [2, 0]
+    assert by[(2, 0)][0] == 0
+    assert by[(2, 1)][0] == 0
+
+
+def test_pq_distance_tie_breaks_to_lowest_code(spark):
+    # query subvector equidistant from both codewords -> code 0 wins
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (5, [0.0, 5.0]),  # dist to both codewords identical in sub 0
+    ]
+    out = {r.vec_id: r.code for r in pq_encode(_vecs(spark, rows), m=1, n_codes=2).collect()}
+    assert out[5] == 0
+
+
+def test_containment_is_directional(spark):
+    # short doc fully inside long doc: containment(short in long) = 1.0,
+    # containment(long in short) < 1 — and Jaccard alone would miss it
+    short = "alpha beta gamma delta epsilon"
+    long = short + " and then a very long unique tail of many extra words"
+    docs = spark.createDataFrame([(1, long), (2, short)], ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(docs, n=3, threshold=0.0).collect()}
+    assert out[(2, 1)] == 1.0
+    assert 0.0 < out[(1, 2)] < 1.0
+
+
+def test_containment_stop_shingle_guard_is_lower_bound(spark):
+    # with max_doc_freq=1 every shared shingle (df=2) is dropped from the
+    # index -> no candidate pairs at all; sizes stay exact
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    assert containment_pairs(docs, n=3, threshold=0.0, max_doc_freq=1).count() == 0
+    full = containment_pairs(docs, n=3, threshold=0.0).collect()
+    assert {(r.doc_a, r.doc_b, r.containment) for r in full} == {
+        (1, 2, 1.0),
+        (2, 1, 1.0),
+    }
