@@ -5027,6 +5027,78 @@ def host_lang_majority(spark, sf_dir):
     )
 
 
+# Greedy k-center (farthest-point) diversity sample — the coreset /
+# curriculum primitive (Gonzalez 1985 2-approximation). Each round is one
+# full scan updating a running min-distance column + a distributed top-1;
+# the chosen set is k broadcast literals, the corpus never shuffles. The
+# oracle chains one CTE pair per round — the same exactness style as
+# pagerank's 3-chained-CTE check.
+@_q(
+    "kcenter_sample",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 200),
+    s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS (SELECT e.vec_id, e.v, round(list_distance(e.v, s0.v), 6) AS md
+           FROM e CROSS JOIN s0 WHERE e.vec_id <> s0.vec_id),
+    p1 AS (SELECT vec_id, v, md FROM m1 ORDER BY md DESC, vec_id ASC LIMIT 1),
+    m2 AS (SELECT m1.vec_id, m1.v,
+                  least(m1.md, round(list_distance(m1.v, p1.v), 6)) AS md
+           FROM m1 CROSS JOIN p1 WHERE m1.vec_id <> p1.vec_id),
+    p2 AS (SELECT vec_id, v, md FROM m2 ORDER BY md DESC, vec_id ASC LIMIT 1),
+    m3 AS (SELECT m2.vec_id, m2.v,
+                  least(m2.md, round(list_distance(m2.v, p2.v), 6)) AS md
+           FROM m2 CROSS JOIN p2 WHERE m2.vec_id <> p2.vec_id),
+    p3 AS (SELECT vec_id, v, md FROM m3 ORDER BY md DESC, vec_id ASC LIMIT 1)
+    SELECT vec_id, CAST(0 AS INT) AS pick, 0.0 AS dist FROM s0
+    UNION ALL SELECT vec_id, CAST(1 AS INT), md FROM p1
+    UNION ALL SELECT vec_id, CAST(2 AS INT), md FROM p2
+    UNION ALL SELECT vec_id, CAST(3 AS INT), md FROM p3
+    """,
+)
+def kcenter_sample_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import kcenter_sample
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return kcenter_sample(e, k=4)
+
+
+# Sparse TF-IDF cosine pairs via inverted-index join (Bayardo et al. 2007's
+# all-pairs-similarity shape) — the lexical complement of embedding-cosine
+# near-dup: docs sharing no token never meet, max_df caps hot-term buckets.
+# Weights rounded to 6 BEFORE products and norms so both engines sum the
+# same numbers.
+@_q(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS token
+                 FROM documents WHERE doc_id < 120),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token <> '' GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 120),
+    wts AS (SELECT tf.doc_id, tf.token,
+                   round(tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS w
+            FROM tf JOIN dfreq USING (token), n),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             FROM wts a JOIN wts b USING (token)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.75
+    """,
+)
+def tfidf_cosine_pairs_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return tfidf_cosine_pairs(d, threshold=0.75)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -5035,6 +5107,7 @@ def host_lang_majority(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
     "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",

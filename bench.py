@@ -93,6 +93,8 @@ HEADLINE = [
     "pq_codes",
     "containment_pairs",
     "host_lang_majority",
+    "kcenter_sample",
+    "tfidf_cosine_pairs",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

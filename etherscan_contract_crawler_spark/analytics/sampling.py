@@ -117,3 +117,66 @@ def weighted_sample(
         .limit(k)
         .select("key", "weight", F.round("_es", 9).alias("es_key"))
     )
+
+
+def kcenter_sample(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling — the coreset /
+    curriculum primitive: pick the lowest-id vector, then repeatedly the
+    point FARTHEST from the chosen set (2-approximation of the k-center
+    optimum, Gonzalez 1985). Deterministic: L2 distances rounded before the
+    argmax, ties broken by lowest id.
+
+    Distributed shape: the chosen set is tiny (k vectors, broadcast as
+    literals); each round is one full scan updating a running min-distance
+    column plus a distributed top-1 (TakeOrdered reduce — no single-task
+    sort). k scans total, so k is the cost knob; the corpus never shuffles.
+    The k-1 driver-side single-row collects are the documented exception to
+    the no-collect rule (each is one row, the next pick).
+
+    Returns the k picks: (vec_id, pick, dist) — ``dist`` = distance to the
+    previously-chosen set at selection time (0.0 for the seed pick).
+    """
+    from pyspark.sql import functions as F
+
+    def l2(vec_lit):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    vec_lit,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    seed = e.orderBy("vid").limit(1).collect()[0]
+    picks = [(seed.vid, 0, 0.0)]
+    seed_lit = F.array(*[F.lit(float(x)) for x in seed.v])
+    cur = e.filter(F.col("vid") != seed.vid).withColumn(
+        "md", F.round(l2(seed_lit), round_digits)
+    )
+    for t in range(1, k):
+        far = cur.orderBy(F.desc("md"), F.asc("vid")).limit(1).collect()[0]
+        picks.append((far.vid, t, float(far.md)))
+        if t == k - 1:
+            break
+        far_lit = F.array(*[F.lit(float(x)) for x in far.v])
+        cur = cur.filter(F.col("vid") != far.vid).withColumn(
+            "md", F.least(F.col("md"), F.round(l2(far_lit), round_digits))
+        )
+        # truncate lineage each round: without this the round-t plan
+        # re-evaluates every earlier round's distance column (O(k^2) work
+        # and an O(k)-deep plan at large k)
+        cur = cur.localCheckpoint()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(picks, f"{id_col} long, pick int, dist double")

@@ -453,3 +453,60 @@ def zipf_slope(
             F.min_by("token", F.col("rk")).alias("top_token"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via inverted-index join — the
+    lexical complement of the embedding-cosine near-dup family (catches
+    topical/keyword overlap dense vectors may smooth away; the classic
+    all-pairs-similarity shape of Bayardo et al. 2007).
+
+    Weights are tf * ln(N/df) rounded to 6 (the cross-engine float
+    convention); norms use the SAME rounded weights so cosine is
+    reproducible bit-for-bit against the SQL oracle. The pair join is
+    TERM-bucketed (docs sharing no token never meet); ``max_df`` drops
+    ubiquitous terms from the candidate join only — norms stay exact, the
+    reported cosine becomes a lower bound, and the quadratic hot-bucket
+    risk is capped, exactly like jaccard_pairs' stop-shingle guard.
+    """
+    from etherscan_contract_crawler_spark.analytics.dedup import normalized_words
+
+    tok = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+        .select("doc_id", "token", "w", "df")
+    )
+    norms = weighted.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    idx = weighted if max_df is None else weighted.filter(F.col("df") <= max_df)
+    a, b = idx.alias("a"), idx.alias("b")
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

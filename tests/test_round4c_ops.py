@@ -102,3 +102,54 @@ def test_containment_stop_shingle_guard_is_lower_bound(spark):
         (1, 2, 1.0),
         (2, 1, 1.0),
     }
+
+
+def test_kcenter_greedy_order_and_tiebreak(spark):
+    from etherscan_contract_crawler_spark.analytics.sampling import kcenter_sample
+
+    # line fixture: greedy = seed(0) -> farthest(3 at 10.1) -> middle(4 at
+    # 5.0) -> then 1 and 2 tie at 0.1 -> lowest id wins
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [10.1, 0.0]),
+        (4, [5.0, 0.0]),
+    ]
+    out = {r.pick: (r.vec_id, r.dist) for r in kcenter_sample(_vecs(spark, rows), k=4).collect()}
+    assert out[0] == (0, 0.0)
+    assert out[1] == (3, 10.1)
+    assert out[2] == (4, 5.0)
+    assert out[3] == (1, 0.1)
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from etherscan_contract_crawler_spark.analytics.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally disjoint vocabulary here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_a, r.doc_b): r.cosine for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out  # no shared token, no pair
+
+
+def test_tfidf_cosine_max_df_guard_is_lower_bound(spark):
+    from etherscan_contract_crawler_spark.analytics.text import tfidf_cosine_pairs
+
+    # docs 1 and 2 share one token (df=2, idf>0); max_df=1 drops it from
+    # the candidate join -> the pair disappears (norms stay exact by
+    # design). A token in EVERY doc would not do here: idf = ln(N/N) = 0
+    # zeroes its weight, so it can't witness the guard.
+    docs = spark.createDataFrame(
+        [(1, "shared a1 a2"), (2, "shared b1 b2"), (3, "only c1 c2")],
+        ["doc_id", "text"],
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.01, max_df=1).count() == 0
+    out = tfidf_cosine_pairs(docs, threshold=0.01).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
