@@ -5099,6 +5099,61 @@ def tfidf_cosine_pairs_q(spark, sf_dir):
     return tfidf_cosine_pairs(d, threshold=0.75)
 
 
+# GPS-EXIF location PII: detect + decode + scrub in one Arrow-batched pass
+# (functions/exif.py gps_scrub). The image side of pii_detect/pii_redact:
+# LAION-style pipelines must strip location EXIF before release. The Spark
+# leg builds REAL TIFF blobs (alternating endianness) with a spec-compliant
+# GPS sub-IFD (RATIONAL DMS triples), parses them back, and scrubs them
+# size-preservingly; the oracle re-derives coordinates closed-form from the
+# same key arithmetic — the binary round trip is what's actually under test.
+# scrub_clean / size_unchanged are computed from the scrubbed bytes and the
+# oracle pins them uniformly TRUE.
+@_q(
+    "exif_gps_scrub",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS image_id,
+           (p_partkey % 7 <> 0 AND p_partkey % 4 = 0) AS has_gps,
+           CASE WHEN p_partkey % 7 <> 0 AND p_partkey % 4 = 0
+                THEN round(-60 + (p_partkey % 120) + 0.5, 6) END AS lat,
+           CASE WHEN p_partkey % 7 <> 0 AND p_partkey % 4 = 0
+                THEN round(-150 + (p_partkey % 300) + 0.25, 6) END AS lon,
+           TRUE AS scrub_clean,
+           TRUE AS size_unchanged
+    FROM part
+    """,
+)
+def exif_gps_scrub(spark, sf_dir):
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.exif import (
+        attach_gps, encode_tiff_exif, gps_scrub,
+    )
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in pdf["k"]:
+                k = int(k)
+                ids.append(str(k))
+                if k % 7 == 0:
+                    blobs.append(b"not an image at all")
+                    continue
+                t = encode_tiff_exif(
+                    {"make": f"Cam{k % 5}", "orientation": 1 + k % 8,
+                     "width": 640 + (k % 7) * 160},
+                    big_endian=bool(k % 2),
+                )
+                if k % 4 == 0:
+                    t = attach_gps(t, -60 + (k % 120) + 0.5, -150 + (k % 300) + 0.25)
+                blobs.append(t)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    imgs = p.mapInPandas(synth, "image_id string, bytes binary")
+    return gps_scrub(imgs)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -5107,7 +5162,7 @@ def tfidf_cosine_pairs_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "kcenter_sample", "tfidf_cosine_pairs",
+    "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",
     "corpus_token_budget", "cdx_revisit_dedup", "weighted_sample",

@@ -95,6 +95,7 @@ HEADLINE = [
     "host_lang_majority",
     "kcenter_sample",
     "tfidf_cosine_pairs",
+    "exif_gps_scrub",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

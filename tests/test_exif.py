@@ -110,3 +110,50 @@ def test_normalize_orientation_properties():
     # garbage orientation values: identity, never raise
     for bad in (None, 0, 9, -1, 255):
         assert (normalize_orientation(img, bad) == img).all()
+
+
+# ------------------------------------------------------------- GPS PII leg
+def test_gps_roundtrip_both_endians():
+    from etherscan_contract_crawler_spark.functions.exif import (
+        attach_gps, encode_tiff_exif, parse_gps, parse_tiff_exif,
+    )
+
+    for be in (False, True):
+        t = encode_tiff_exif({"make": "CamX", "orientation": 3, "width": 640},
+                             big_endian=be)
+        g = attach_gps(t, -59.5, 149.25)
+        assert parse_gps(g) == (-59.5, 149.25)
+        # attaching GPS must not disturb the existing IFD0/Exif fields
+        # (attach_gps rewrites the IFD0 entry table and shifts offsets)
+        assert parse_tiff_exif(g) == {"make": "CamX", "orientation": 3, "width": 640}
+
+
+def test_gps_strip_is_size_preserving_and_unrecoverable():
+    from etherscan_contract_crawler_spark.functions.exif import (
+        attach_gps, encode_tiff_exif, parse_gps, parse_tiff_exif, strip_gps,
+    )
+
+    t = attach_gps(encode_tiff_exif({"iso": 400, "model": "M-1"}), 12.5, -3.25)
+    s = strip_gps(t)
+    assert len(s) == len(t)  # in-place zeroing, no re-encode
+    assert parse_gps(s) is None
+    assert parse_tiff_exif(s) == {"iso": 400, "model": "M-1"}  # non-GPS intact
+    # the raw coordinate rationals must be GONE from the bytes, not merely
+    # unreferenced: every GPS value region is zeroed (12°30'0" starts with
+    # the rational 12/1)
+    import struct
+    rational_12_deg = struct.pack("<II", 12, 1)
+    assert rational_12_deg in t
+    assert rational_12_deg not in s
+    # quadrant refs: all four sign combinations decode correctly pre-strip
+    for lat, lon in ((1.5, 2.25), (-1.5, 2.25), (1.5, -2.25), (-1.5, -2.25)):
+        assert parse_gps(attach_gps(encode_tiff_exif({"iso": 100}), lat, lon)) == (lat, lon)
+
+
+def test_gps_malformed_inputs_never_raise():
+    from etherscan_contract_crawler_spark.functions.exif import parse_gps, strip_gps
+
+    for blob in (None, b"", b"xx", b"II*\x00", b"not an image at all",
+                 b"II" + b"\x2a\x00" + b"\xff\xff\xff\xff"):
+        assert parse_gps(blob) is None
+        assert strip_gps(blob) == blob
