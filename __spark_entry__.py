@@ -5154,6 +5154,94 @@ def exif_gps_scrub(spark, sf_dir):
     return gps_scrub(imgs)
 
 
+# hreflang language-variant extraction (functions/html.py
+# hreflang_alternates): the publisher's multilingual dedup signal — a
+# crawler targeting one language skips the variants, a caption-alignment
+# pipeline groups them. Synthesized pages exercise attribute order, quote
+# style, tag case, and two decoy classes (hreflang without rel=alternate;
+# alternate without hreflang); the oracle re-derives rows closed-form from
+# the residue arithmetic, so the regex lift is what's under test.
+@_q(
+    "hreflang_extract",
+    """
+    WITH k AS (SELECT o_orderkey AS url_id, o_orderkey % 5 AS m,
+                      CAST(o_orderkey AS VARCHAR) AS ks FROM orders)
+    SELECT url_id, 'en' AS lang, '/p/' || ks || '?lang=en' AS href,
+           CAST(3 AS INT) AS n_alternates FROM k WHERE m = 0
+    UNION ALL
+    SELECT url_id, 'de', '/p/' || ks || '?lang=de', CAST(3 AS INT)
+    FROM k WHERE m = 0
+    UNION ALL
+    SELECT url_id, 'x-default', '/p/' || ks, CAST(3 AS INT) FROM k WHERE m = 0
+    UNION ALL
+    SELECT url_id, 'fr-ca', 'https://fr.example.com/p/' || ks, CAST(1 AS INT)
+    FROM k WHERE m = 1
+    """,
+)
+def hreflang_extract(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import hreflang_alternates
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 5
+    ks = k.cast("string")
+    body = (
+        # 0: three variants — double quotes, single quotes, bare attrs
+        F.when(m == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="en" href="/p/'), ks,
+            F.lit('?lang=en"><link hreflang=\'de\' rel=\'alternate\' href=\'/p/'),
+            ks, F.lit("?lang=de'><LINK REL=ALTERNATE HREFLANG=x-default HREF=/p/"),
+            ks, F.lit(">")))
+        # 1: attr order swapped, uppercase BCP 47 tag -> lowercased
+        .when(m == 1, F.concat(
+            F.lit('<link href="https://fr.example.com/p/'), ks,
+            F.lit('" hreflang="FR-CA" rel="alternate">')))
+        # 2: decoys — hreflang on a stylesheet; alternate RSS w/o hreflang
+        .when(m == 2, F.concat(
+            F.lit('<link rel="stylesheet" hreflang="en" href="/x.css">'),
+            F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">')))
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    alts = o.select(k.alias("url_id"), hreflang_alternates(body).alias("alts"))
+    return (
+        alts.filter(F.size("alts") > 0)
+        .select("url_id", F.size("alts").cast("int").alias("n_alternates"),
+                F.explode("alts").alias("a"))
+        .select("url_id", F.col("a.lang").alias("lang"),
+                F.col("a.href").alias("href"), "n_alternates")
+    )
+
+
+# Sliding-window error-spike alert — the crawl-ops health monitor (a host
+# whose fetch errors cluster in time gets backed off before it poisons the
+# schedule). One exchange on the key; the trailing RANGE frame streams
+# within each partition, so the plan is a single pass at any scale. Both
+# engines frame over the SAME floored epoch-second integer, making the
+# window arithmetic engine-exact.
+@_q(
+    "error_spike_alert",
+    """
+    SELECT event_id, user_id, ts_s, errs_1h, errs_1h >= 3 AS alert FROM (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS errs_1h
+      FROM events WHERE event_type = 'error')
+    """,
+)
+def error_spike_alert(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    e = e.select("event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"))
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return (
+        e.withColumn("errs_1h", F.count("*").over(w))
+        .select("event_id", "user_id", "ts_s", "errs_1h",
+                (F.col("errs_1h") >= 3).alias("alert"))
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -5162,6 +5250,7 @@ def exif_gps_scrub(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",
     "span_dedup", "zipf_slope", "host_fanin_prior", "url_alias_groups",

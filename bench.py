@@ -96,6 +96,8 @@ HEADLINE = [
     "kcenter_sample",
     "tfidf_cosine_pairs",
     "exif_gps_scrub",
+    "hreflang_extract",
+    "error_spike_alert",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

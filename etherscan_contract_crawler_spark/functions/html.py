@@ -164,3 +164,42 @@ def rel_canonical(body: Column | str, page_url: Column | str) -> Column:
             href.isNotNull(), canon == canonicalize_url(u)
         ).alias("is_self"),
     )
+
+
+_HREFLANG_TAG_RE = r"(?is)<link\b[^>]*>"
+_HREFLANG_ATTR_RE = r"""(?i)\bhreflang\s*=\s*["']?([A-Za-z][A-Za-z-]*)"""
+_HREF_ATTR_RE = r"""(?i)\bhref\s*=\s*["']?([^"'\s>]+)"""
+_REL_ALTERNATE_RE = r"""(?i)\brel\s*=\s*["']?alternate"""
+
+
+def hreflang_alternates(body: Column | str) -> Column:
+    """All ``<link rel="alternate" hreflang="..">`` language variants of a
+    page as ``array<struct<lang string, href string>>``.
+
+    hreflang clusters are the publisher's own multilingual dedup signal: a
+    crawler that knows /p/1?lang=de is the German variant of /p/1 can (a)
+    skip re-crawling variants when targeting one language and (b) group
+    variants for caption/text alignment instead of treating them as
+    near-dup noise. Attribute order free, single/double/no quotes,
+    case-insensitive; ``lang`` is lowercased (BCP 47 tags are
+    case-insensitive); tags carrying hreflang without ``rel=alternate``
+    (decoys) and alternate links without hreflang (RSS feeds) are ignored.
+
+    Pure Column projection (regexp_extract_all + transform/filter — all
+    RE2-safe, zero shuffle, scan-speed), same contract as rel_canonical.
+    """
+    b = F.col(body) if isinstance(body, str) else body
+    tags = F.regexp_extract_all(b, F.lit(_HREFLANG_TAG_RE), F.lit(0))
+    alts = F.filter(
+        tags,
+        lambda t: t.rlike(_REL_ALTERNATE_RE)
+        & (F.regexp_extract(t, _HREFLANG_ATTR_RE, 1) != "")
+        & (F.regexp_extract(t, _HREF_ATTR_RE, 1) != ""),
+    )
+    return F.transform(
+        alts,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _HREFLANG_ATTR_RE, 1)).alias("lang"),
+            F.regexp_extract(t, _HREF_ATTR_RE, 1).alias("href"),
+        ),
+    )

@@ -153,3 +153,25 @@ def test_tfidf_cosine_max_df_guard_is_lower_bound(spark):
     assert tfidf_cosine_pairs(docs, threshold=0.01, max_df=1).count() == 0
     out = tfidf_cosine_pairs(docs, threshold=0.01).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+
+
+def test_hreflang_extraction_variants_and_decoys(spark):
+    from etherscan_contract_crawler_spark.functions.html import hreflang_alternates
+
+    body = (
+        '<link rel="alternate" hreflang="en" href="/p/1?lang=en">'
+        "<link hreflang='DE' rel='alternate' href='/p/1?lang=de'>"
+        "<LINK REL=ALTERNATE HREFLANG=x-default HREF=/p/1>"
+        '<link rel="stylesheet" hreflang="en" href="/x.css">'   # decoy: not alternate
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'  # no hreflang
+        '<a hreflang="fr" href="/p/1?lang=fr">anchors do not count</a>'
+    )
+    df = spark.createDataFrame([(1, body), (2, "<p>none</p>")], ["url_id", "body"])
+    out = df.select("url_id", hreflang_alternates("body").alias("alts")).collect()
+    by = {r.url_id: [(a.lang, a.href) for a in r.alts] for r in out}
+    assert by[1] == [
+        ("en", "/p/1?lang=en"),
+        ("de", "/p/1?lang=de"),          # lang lowercased
+        ("x-default", "/p/1"),           # bare attributes parse
+    ]
+    assert by[2] == []
