@@ -5242,6 +5242,79 @@ def error_spike_alert(spark, sf_dir):
     )
 
 
+# C4-style rule-based cleaning (Raffel et al. 2020 §2.2 — analytics/text.py
+# c4_clean): keep lines ending in terminal punctuation with >=5 words and no
+# "javascript"; drop pages with "lorem ipsum", "{", or <3 kept lines. Synth
+# composes a 5-7-line page per doc hitting every rule branch (short line,
+# javascript line on doc_id%5, punctuation-free line, lorem on %11, code
+# brace on %13); the oracle re-derives the rules in DuckDB list lambdas over
+# the SAME composed text, so the filter logic is checked end-to-end.
+@_q(
+    "c4_filters",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        concat_ws(chr(10),
+          'Sentence one of doc ' || CAST(doc_id AS VARCHAR)
+            || ' keeps enough words here.',
+          'click here',
+          CASE WHEN doc_id % 5 = 0
+               THEN 'Please enable javascript to continue viewing this page.'
+               ELSE 'Does this line have five words total?' END,
+          substr(text, 1, 80),
+          'Another full sentence appears right here at the end!',
+          CASE WHEN doc_id % 11 = 0
+               THEN 'Lorem ipsum dolor sit amet consectetur.' END,
+          CASE WHEN doc_id % 13 = 0
+               THEN 'var f = function() { return 1; };' END
+        ) AS t
+      FROM documents),
+    k AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        list_filter(string_split(t, chr(10)), x ->
+          regexp_matches(trim(regexp_replace(x, '\\s+', ' ', 'g')),
+                         '[.!?"]$')
+          AND len(string_split(
+                trim(regexp_replace(x, '\\s+', ' ', 'g')), ' ')) >= 5
+          AND NOT contains(
+                lower(trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                'javascript')) AS kept
+      FROM p)
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      contains(lower(t), 'lorem ipsum') AS has_lorem,
+      contains(t, '{') AS has_code,
+      (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+       AND NOT contains(t, '{')) AS keep,
+      array_to_string(kept, chr(10)) AS kept_text
+    FROM k
+    """,
+)
+def c4_filters(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Sentence one of doc "), did.cast("string"),
+                 F.lit(" keeps enough words here.")),
+        F.lit("click here"),
+        F.when(
+            did % 5 == 0,
+            F.lit("Please enable javascript to continue viewing this page."),
+        ).otherwise(F.lit("Does this line have five words total?")),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("Another full sentence appears right here at the end!"),
+        F.when(did % 11 == 0,
+               F.lit("Lorem ipsum dolor sit amet consectetur.")),
+        F.when(did % 13 == 0,
+               F.lit("var f = function() { return 1; };")),
+    )
+    return c4_clean(d.select("doc_id", page.alias("text")))
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -5250,6 +5323,7 @@ def error_spike_alert(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",

@@ -510,3 +510,62 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style rule-based cleaning (Raffel et al. 2020, §2.2 — the
+    published heuristics, not a model): keep only lines that end in
+    terminal punctuation (``. ! ? "``) AND have at least ``min_words``
+    words AND don't mention "javascript"; drop the whole page when it
+    contains "lorem ipsum" (placeholder text), contains ``{`` (leaked
+    code), or keeps fewer than ``min_kept_lines`` lines.
+
+    The reference crawler stores raw page payloads with no cleaning
+    (contract_crawler.py:290-314); this is the curation step a training
+    pipeline inserts between landing and dedup.
+
+    Scale shape: a pure per-row projection — ``split`` + higher-order
+    ``filter``/``transform`` on the line array, all JVM-side inside one
+    WholeStageCodegen, ZERO shuffles, ZERO Python. Word counting is done
+    on a whitespace-normalized copy of each line so the count is
+    delimiter-run-insensitive and bit-identical across engines.
+
+    Output: (key_col, n_lines, n_kept_lines, has_lorem, has_code, keep,
+    kept_text) — kept_text preserves original line order.
+    """
+
+    def _norm(x):
+        return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+    def _is_kept(x):
+        nl = _norm(x)
+        words = F.when(nl == "", F.lit(0)).otherwise(
+            F.size(F.split(nl, " "))
+        )
+        return (
+            nl.rlike('[.!?"]$')
+            & (words >= min_words)
+            & ~F.lower(nl).contains("javascript")
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _is_kept)
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_code = F.col(text_col).contains("{")
+    return docs.select(
+        key_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_code.alias("has_code"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_code
+        ).alias("keep"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )

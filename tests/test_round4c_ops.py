@@ -175,3 +175,40 @@ def test_hreflang_extraction_variants_and_decoys(spark):
         ("x-default", "/p/1"),           # bare attributes parse
     ]
     assert by[2] == []
+
+
+def test_c4_clean_rule_branches(spark):
+    from etherscan_contract_crawler_spark.analytics.text import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences -> kept page
+            (1, "One two three four five six.\nSeven eight nine ten eleven!\n"
+                'He said "keep this quoted line please."'),
+            # enough words but no terminal punctuation -> all lines dropped
+            (2, "one two three four five six\nseven eight nine ten eleven"),
+            # javascript mention kills the line; <3 kept -> page dropped
+            (3, "Enable javascript to view this content now.\n"
+                "A good long sentence stays right here.\n"
+                "Another good long sentence stays here too."),
+            # lorem ipsum anywhere -> page dropped even with 3 good lines
+            (4, "One two three four five six.\nSeven eight nine ten eleven.\n"
+                "Twelve thirteen fourteen fifteen sixteen.\nlorem ipsum dolor"),
+            # code brace -> page dropped
+            (5, "One two three four five six.\nSeven eight nine ten eleven.\n"
+                "Twelve thirteen fourteen fifteen sixteen.\nif (x) { y(); }"),
+            # whitespace runs normalized before word count: 5 real words
+            (6, "a   b\t c  d    e.\nshort one.\nalso too short."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert out[1].kept_text.count("\n") == 2
+    assert not out[2].keep and out[2].n_kept_lines == 0
+    assert not out[3].keep and out[3].n_kept_lines == 2  # js line dropped
+    assert out[4].has_lorem and not out[4].keep and out[4].n_kept_lines == 3
+    assert out[5].has_code and not out[5].keep
+    # doc 6: the run-normalized first line counts 5 words -> kept line,
+    # but only 1 kept line total -> page dropped
+    assert out[6].n_kept_lines == 1 and not out[6].keep
