@@ -5242,6 +5242,60 @@ def error_spike_alert(spark, sf_dir):
     )
 
 
+# UT1/Dolma-style domain blocklist (functions/urls.py blocklist_match): a
+# host is blocked when it equals a blocklist entry or sits under one on a
+# dot boundary (never substring — notexample.com must survive). The frontier
+# side never shuffles on a blocklist key: hosts explode into bounded
+# dot-suffix chains and probe the BROADCAST entry set. Synth hosts carry 0-2
+# subdomain labels so the oracle exercises exact, one-level, and two-level
+# suffix matches plus the e.com-vs-le.com substring trap.
+@_q(
+    "blocklist_filter",
+    """
+    WITH b AS (
+      SELECT * FROM (VALUES ('site00003.example.com'),
+                            ('cdn.site00007.example.com'),
+                            ('site00013.example.com')) AS v(entry)),
+    h AS (
+      SELECT DISTINCT
+        CASE o_orderkey % 3 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'a.b.'
+             ELSE '' END
+        || 'site' || lpad(CAST(o_custkey % 20 AS VARCHAR), 5, '0')
+        || '.example.com' AS host
+      FROM orders)
+    SELECT host,
+      EXISTS(SELECT 1 FROM b
+             WHERE h.host = b.entry OR h.host LIKE '%.' || b.entry)
+        AS blocked,
+      (SELECT min(entry) FROM b
+       WHERE h.host = b.entry OR h.host LIKE '%.' || b.entry) AS matched
+    FROM h
+    """,
+)
+def blocklist_filter(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.urls import blocklist_match
+
+    o = _t(spark, sf_dir, "orders")
+    site = F.concat(
+        F.lit("site"),
+        F.lpad((F.col("o_custkey") % 20).cast("string"), 5, "0"),
+        F.lit(".example.com"),
+    )
+    m = F.col("o_orderkey") % 3
+    host = (
+        F.when(m == 1, F.concat(F.lit("cdn."), site))
+        .when(m == 2, F.concat(F.lit("a.b."), site))
+        .otherwise(site)
+    )
+    hosts = o.select(host.alias("host")).distinct()
+    bl = spark.createDataFrame(
+        [("site00003.example.com",), ("cdn.site00007.example.com",),
+         ("site00013.example.com",)],
+        ["entry"],
+    )
+    return blocklist_match(hosts, bl)
+
+
 # C4-style rule-based cleaning (Raffel et al. 2020 §2.2 — analytics/text.py
 # c4_clean): keep lines ending in terminal punctuation with >=5 words and no
 # "javascript"; drop pages with "lorem ipsum", "{", or <3 kept lines. Synth
@@ -5323,7 +5377,7 @@ def c4_filters(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "c4_filters",
+    "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",

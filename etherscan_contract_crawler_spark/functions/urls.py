@@ -236,3 +236,58 @@ def surt_key(url: Column | str) -> Column:
     return F.when(
         host != "", F.concat(rev, port, F.lit(")"), rest)
     ).otherwise(canon)
+
+
+def host_suffixes(host: Column | str, min_labels: int = 2) -> Column:
+    """All dot-boundary suffixes of ``host`` with at least ``min_labels``
+    labels, longest first (the full host is element 0). ``a.b.site.com`` →
+    ``[a.b.site.com, b.site.com, site.com]``. Pure Column exprs
+    (split + transform over a sequence + slice) — zero shuffle, codegen.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - min_labels, F.lit(0))),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def blocklist_match(
+    hosts: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    entry_col: str = "entry",
+) -> DataFrame:
+    """Domain blocklist filtering the way curation pipelines apply UT1 /
+    Dolma-style blocklists: a host is blocked when it EQUALS a blocklist
+    entry or is a subdomain of one (dot-boundary suffix match — never a
+    substring match, which would false-positive ``notexample.com``).
+
+    Scale shape: the blocklist is small (UT1 is a few MB) and the host set
+    is the 10^10-URL frontier, so the big side NEVER shuffles on a
+    blocklist key: each host explodes into its ≤depth dot-suffixes
+    (bounded per-row work) and probes the BROADCAST entry set; one hash
+    agg keyed by the original host folds multi-entry matches (min entry
+    kept, deterministic). The frontier-side rows flow map-side only —
+    explode → broadcast-hash-join → partial agg.
+
+    Output: (host_col, blocked bool, matched — most-specific/min matching
+    entry or NULL).
+    """
+    probe = hosts.select(
+        host_col, F.explode(host_suffixes(F.col(host_col))).alias("_suf")
+    )
+    hits = (
+        probe.join(
+            F.broadcast(blocklist.select(F.col(entry_col).alias("_suf"))),
+            "_suf",
+        )
+        .groupBy(host_col)
+        .agg(F.min("_suf").alias("matched"))
+    )
+    return hosts.select(host_col).join(hits, host_col, "left").select(
+        host_col,
+        F.col("matched").isNotNull().alias("blocked"),
+        "matched",
+    )

@@ -212,3 +212,36 @@ def test_c4_clean_rule_branches(spark):
     # doc 6: the run-normalized first line counts 5 words -> kept line,
     # but only 1 kept line total -> page dropped
     assert out[6].n_kept_lines == 1 and not out[6].keep
+
+
+def test_blocklist_dot_boundary_and_suffix_depth(spark):
+    from etherscan_contract_crawler_spark.functions.urls import (
+        blocklist_match,
+        host_suffixes,
+    )
+    import pyspark.sql.functions as F
+
+    hosts = spark.createDataFrame(
+        [("bad.com",), ("a.bad.com",), ("x.y.bad.com",),
+         ("notbad.com",),            # substring trap: must NOT match bad.com
+         ("bad.com.evil.org",),      # entry must be a SUFFIX, not a prefix
+         ("good.org",)],
+        ["host"],
+    )
+    bl = spark.createDataFrame([("bad.com",), ("y.bad.com",)], ["entry"])
+    out = {r.host: (r.blocked, r.matched)
+           for r in blocklist_match(hosts, bl).collect()}
+    assert out["bad.com"] == (True, "bad.com")
+    assert out["a.bad.com"] == (True, "bad.com")
+    # two entries match x.y.bad.com; min() keeps the lexicographic min
+    assert out["x.y.bad.com"] == (True, "bad.com")
+    assert out["notbad.com"] == (False, None)
+    assert out["bad.com.evil.org"] == (False, None)
+    assert out["good.org"] == (False, None)
+
+    sufs = (
+        spark.range(1)
+        .select(host_suffixes(F.lit("a.b.site.com")).alias("s"))
+        .collect()[0].s
+    )
+    assert sufs == ["a.b.site.com", "b.site.com", "site.com"]
