@@ -5242,6 +5242,56 @@ def error_spike_alert(spark, sf_dir):
     )
 
 
+# Image channel-stats quality gate (operators/validate.py channel_stats):
+# decoded-pixel per-channel means, dynamic range, 8-bin luma entropy, and
+# the LAION-style keep verdict that drops solid-color placeholders and
+# undecodable payloads before perceptual hashing is paid for. Rows-only
+# (binary codecs aren't SQL); the synth mixes real generator payloads with
+# injected solid-color and corrupt payloads so every verdict branch fires.
+@_q("image_channel_stats")
+def image_channel_stats(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.images import encode_png
+    from etherscan_contract_crawler_spark.operators.validate import (
+        channel_stats,
+    )
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(
+            F.sha1(F.col("doc_id").cast("string")).alias("key"),
+            (F.col("doc_id") % 8).alias("m"),
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for r in pdf.itertuples(index=False):
+                p = payload_for_key(r.key)
+                ids.append(p["image_id"])
+                if r.m == 0:  # solid-color placeholder -> flat
+                    shade = int(r.key[:2], 16)
+                    blobs.append(encode_png(
+                        np.full((16, 16, 3), shade, dtype=np.uint8)))
+                elif r.m == 1:  # corrupt payload -> NULL stats, keep=false
+                    blobs.append(p["bytes"][:20])
+                else:
+                    blobs.append(p["bytes"])
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    images = keys.mapInPandas(gen, schema="image_id string, bytes binary")
+    return channel_stats(images)
+
+
 # UT1/Dolma-style domain blocklist (functions/urls.py blocklist_match): a
 # host is blocked when it equals a blocklist entry or sits under one on a
 # dot boundary (never substring — notexample.com must survive). The frontier
@@ -5377,7 +5427,7 @@ def c4_filters(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "blocklist_filter", "c4_filters",
+    "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",

@@ -94,3 +94,74 @@ def validate_payloads(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").mapInPandas(
         run, schema=VALIDATION_DDL
     )
+
+
+CHANNEL_STATS_DDL = (
+    "image_id string, mean_r int, mean_g int, mean_b int, "
+    "dyn_range int, entropy_q double, flat boolean, keep boolean"
+)
+
+#: a decoded image whose max-min pixel spread is below this is "flat"
+#: (solid color / tracking pixel / placeholder) — training noise
+FLAT_DYN_RANGE = 8
+#: minimum quantized 8-bin luma entropy (bits) for a keepable image
+MIN_ENTROPY_BITS = 0.5
+
+
+def channel_stats(images: DataFrame) -> DataFrame:
+    """Image-quality gate over DECODED pixels (the LAION-style pre-filter
+    that drops solid-color placeholders, tracking pixels, and blank scans
+    before any perceptual hashing is paid for): per-channel integer means,
+    dynamic range, 8-bin luma entropy, and a keep verdict.
+
+    All statistics are integer- or rational-exact (sums // counts, bin
+    counts) so results are bit-identical across partitionings — entropy is
+    the only float and is a deterministic function of the 8 bin counts.
+    Undecodable payloads surface as NULL-stats rows with keep=false
+    (P10 error-to-null), never exceptions.
+
+    Scale shape: ``mapInPandas`` over Arrow batches of binary payloads —
+    numpy inside, no per-row Python at the Spark layer, ZERO shuffles;
+    the gate composes map-side with fetch/validate in the landing stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "mean_r", "mean_g", "mean_b", "dyn_range",
+                "entropy_q", "flat", "keep")}
+            for r in pdf.itertuples(index=False):
+                out["image_id"].append(r.image_id)
+                try:
+                    px = decode_image(bytes(r.bytes)).astype(np.int64)
+                except Exception:
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["dyn_range"].append(None)
+                    out["entropy_q"].append(None)
+                    out["flat"].append(None)
+                    out["keep"].append(False)
+                    continue
+                n = px.shape[0] * px.shape[1]
+                means = [int(px[:, :, c].sum() // n) for c in range(3)]
+                dyn = int(px.max() - px.min())
+                # integer luma (ITU-R 601 fixed-point), 8-bin histogram
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                bins = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+                p = bins[bins > 0] / n
+                ent = float(-(p * np.log2(p)).sum())
+                flat = dyn < FLAT_DYN_RANGE
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+                out["dyn_range"].append(dyn)
+                out["entropy_q"].append(round(ent, 6))
+                out["flat"].append(flat)
+                out["keep"].append(bool(not flat and ent >= MIN_ENTROPY_BITS))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=CHANNEL_STATS_DDL
+    )

@@ -59,3 +59,32 @@ def test_phash_deterministic_and_robust():
 def test_phash_int64_range():
     v = phash64(_img(6))
     assert -(2**63) <= v < 2**63
+
+
+def test_channel_stats_verdicts(spark):
+    import numpy as np
+
+    from etherscan_contract_crawler_spark.functions.images import encode_png
+    from etherscan_contract_crawler_spark.operators.validate import channel_stats
+
+    solid = encode_png(np.full((8, 8, 3), 100, dtype=np.uint8))
+    grad = np.zeros((8, 8, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    grad[:, :, 1] = 255 - grad[:, :, 0]
+    gradient = encode_png(grad)
+    df = spark.createDataFrame(
+        [("solid", bytearray(solid)), ("grad", bytearray(gradient)),
+         ("junk", bytearray(b"\x89PNG not really"))],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in channel_stats(df).collect()}
+    s = out["solid"]
+    assert (s.mean_r, s.mean_g, s.mean_b) == (100, 100, 100)
+    assert s.dyn_range == 0 and s.flat and not s.keep
+    g = out["grad"]
+    assert g.dyn_range == 255 and not g.flat and g.keep
+    assert g.entropy_q > 0.5
+    # exact integer means: channel sums are arithmetic series
+    assert g.mean_r == sum(i * 4 for i in range(64)) // 64
+    j = out["junk"]
+    assert j.mean_r is None and j.flat is None and j.keep is False
