@@ -5242,6 +5242,86 @@ def error_spike_alert(spark, sf_dir):
     )
 
 
+# Gopher quality rules (Rae et al. 2021 A1.1 — analytics/text.py
+# gopher_rules): word-count bounds, mean-word-length 3-10, <10% symbol
+# words, >=80% alphabetic words, bullet/ellipsis line caps, >=2 distinct
+# stop words. Every ratio is an integer cross-multiplication so the keep
+# verdict hashes identically vs DuckDB. Synth branches per doc_id%7 fire
+# the symbol, word-count, bullet, and ellipsis failure paths explicitly.
+@_q(
+    "gopher_rules",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN repeat('ok the word and #tag ', 30)
+          WHEN 1 THEN 'short text the and'
+          WHEN 2 THEN '- the alpha beta' || chr(10) ||
+                      '- and gamma delta' || chr(10) || '- epsilon zeta eta'
+          WHEN 3 THEN text || chr(10) || 'Read more...' || chr(10) ||
+                      'Click here to continue reading this article...'
+          ELSE text END AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, t,
+        string_split(trim(regexp_replace(t, '\\s+', ' ', 'g')), ' ')
+          AS words,
+        string_split(t, chr(10)) AS ls
+      FROM p),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+             AS BIGINT) AS char_sum,
+        CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(words,
+               x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT)
+          AS sym_words,
+        CAST(CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS INT)
+             AS BIGINT) AS n_stop,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*]')))
+             AS BIGINT) AS bullet_lines,
+        CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+             AS BIGINT) AS ellipsis_lines
+      FROM w)
+    SELECT *, (n_words BETWEEN 50 AND 100000
+               AND char_sum >= 3 * n_words AND char_sum <= 10 * n_words
+               AND 10 * alpha_words >= 8 * n_words
+               AND 10 * sym_words < n_words
+               AND 10 * bullet_lines < 9 * n_lines
+               AND 10 * ellipsis_lines < 3 * n_lines
+               AND n_stop >= 2) AS keep
+    FROM m
+    """,
+)
+def gopher_rules_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    t = (
+        F.when(m == 0, F.repeat(F.lit("ok the word and #tag "), 30))
+        .when(m == 1, F.lit("short text the and"))
+        .when(m == 2, F.lit("- the alpha beta\n- and gamma delta"
+                            "\n- epsilon zeta eta"))
+        .when(m == 3, F.concat(
+            F.col("text"),
+            F.lit("\nRead more...\nClick here to continue reading"
+                  " this article...")))
+        .otherwise(F.col("text"))
+    )
+    return gopher_rules(d.select("doc_id", t.alias("text")))
+
+
 # Image channel-stats quality gate (operators/validate.py channel_stats):
 # decoded-pixel per-channel means, dynamic range, 8-bin luma entropy, and
 # the LAION-style keep verdict that drops solid-color placeholders and
@@ -5427,7 +5507,7 @@ def c4_filters(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "image_channel_stats", "blocklist_filter", "c4_filters",
+    "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",
     "semdedup_prune", "pq_codes", "containment_pairs", "host_lang_majority",

@@ -569,3 +569,81 @@ def c4_clean(
         ).alias("keep"),
         F.array_join(kept, "\n").alias("kept_text"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, A1.1 — the published
+    document-level heuristics, complementing :func:`c4_clean`'s line
+    rules): word count in [min_words, max_words]; mean word length in
+    [3, 10]; <10% symbol words (``#`` or ``...``); >=80% of words contain
+    an alphabetic character; <90% bullet-started lines; <30%
+    ellipsis-ended lines; >=2 distinct stop words present.
+
+    Every ratio test is evaluated as an INTEGER cross-multiplication
+    (``3*total <= chars <= 10*total``), so verdicts are bit-identical
+    across engines and partitionings — no float division anywhere.
+
+    Scale shape: pure per-row projection (split + higher-order
+    filter/transform/aggregate), ZERO shuffles, full codegen — at 100 TB
+    this runs at scan speed and the ``keep`` predicate pushes into the
+    same scan as every other curation filter.
+
+    Output: (key_col, n_words, char_sum, alpha_words, sym_words, n_stop,
+    n_lines, bullet_lines, ellipsis_lines, keep).
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(t, r"\s+", " "))
+    words = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    low = F.transform(words, F.lower)
+    n_words = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    sym = F.size(
+        F.filter(words, lambda x: x.contains("#") | x.contains("..."))
+    )
+    n_stop = sum(
+        F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*]"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & (char_sum >= 3 * n_words)
+        & (char_sum <= 10 * n_words)
+        & (10 * alpha >= 8 * n_words)
+        & (10 * sym < n_words)
+        & (10 * bullets < 9 * n_lines)
+        & (10 * ellipsis < 3 * n_lines)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        key_col,
+        n_words.cast("long").alias("n_words"),
+        char_sum.cast("long").alias("char_sum"),
+        alpha.cast("long").alias("alpha_words"),
+        sym.cast("long").alias("sym_words"),
+        n_stop.cast("long").alias("n_stop"),
+        n_lines.cast("long").alias("n_lines"),
+        bullets.cast("long").alias("bullet_lines"),
+        ellipsis.cast("long").alias("ellipsis_lines"),
+        keep.alias("keep"),
+    )

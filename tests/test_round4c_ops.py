@@ -245,3 +245,28 @@ def test_blocklist_dot_boundary_and_suffix_depth(spark):
         .collect()[0].s
     )
     assert sufs == ["a.b.site.com", "b.site.com", "site.com"]
+
+
+def test_gopher_rules_each_branch(spark):
+    from etherscan_contract_crawler_spark.analytics.text import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and have with "
+            "words " * 8)  # 104 words, all alphabetic, stopwords present
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the and of short"),                    # word count < 50
+            (3, "ok the word and #tag " * 30),          # >10% symbol words
+            (4, "\n".join(["- bullet the and item"] * 10)),  # 100% bullets
+            (5, good + "\nRead on...\nAnd more..."),    # 2/3 ellipsis lines
+            (6, " ".join(["abcdefghijklmnop"] * 60)),   # mean word len > 10
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].keep and out[1].n_words == 104 and out[1].n_stop >= 2
+    assert not out[2].keep and out[2].n_words == 4
+    assert not out[3].keep and out[3].sym_words == 30
+    assert not out[4].keep and out[4].bullet_lines == 10
+    assert not out[5].keep and out[5].ellipsis_lines == 2
+    assert not out[6].keep and out[6].char_sum == 16 * 60
