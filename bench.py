@@ -98,6 +98,10 @@ HEADLINE = [
     "exif_gps_scrub",
     "hreflang_extract",
     "error_spike_alert",
+    "c4_filters",
+    "gopher_rules",
+    "blocklist_filter",
+    "image_channel_stats",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a
