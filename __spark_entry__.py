@@ -2150,29 +2150,37 @@ def corpus_curation(spark, sf_dir):
     stage at each doc, not just the surviving set. Every stage is the SAME
     operator its unit query uses — this pins their composition.
 
-    Scale shape: two doc-keyed hash joins + the fingerprint window + the
+    Scale shape: the language/quality/token signals and the fingerprint
+    are ALL projections of the same documents scan, so they are computed
+    in ONE fused pass (keep_cols passthrough) — the doc-keyed joins that
+    remain are only the ones that genuinely carry aggregated state back
+    (near-dup reps, decontamination); plus the fingerprint window + the
     banded LSH bucket join (never all-pairs) + component rounds on the
-    (tiny) edge set; language/quality/token/sampling flags are pure
-    projections fused into one pass."""
+    (tiny) edge set."""
     from etherscan_contract_crawler_spark.analytics.decontam import decontaminate
     from etherscan_contract_crawler_spark.analytics.dedup import neardup_components
     from etherscan_contract_crawler_spark.analytics.sampling import rate_threshold_hex
 
     docs = _t(spark, sf_dir, "documents")
-    # stage 1 — exact-dup canonicality (keep-best: longest, then lowest id)
-    flagged = (
-        fingerprint(docs)
-        .join(docs.select("doc_id", "n_chars", "source", "text"), "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("fingerprint").orderBy(
-                    F.desc("n_chars"), F.asc("doc_id")
-                )
-            ),
-        )
-        .withColumn("is_canonical", F.col("rn") == 1)
+    # stages 1+4 fused — one projection computes fingerprint, language,
+    # quality, and token count off a single scan; the window then ranks
+    # exact-dup groups (keep-best: longest, then lowest id)
+    sig = lang_id(
+        quality_score(docs, keep_cols=("source", "text")),
+        keep_cols=("source", "text", "quality", "n_tokens", "n_chars"),
     )
+    flagged = fingerprint(
+        sig,
+        keep_cols=("source", "text", "quality", "n_tokens",
+                   "n_chars", "lang_guess"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    ).withColumn("is_canonical", F.col("rn") == 1)
     canon_docs = flagged.filter("is_canonical").select("doc_id", "text")
     # stage 2 — near-dup edges (banded MinHash LSH) → components → keep reps
     edges = minhash_lsh_pairs(canon_docs, n_hashes=12, bands=4).select("doc_a", "doc_b")
@@ -2192,12 +2200,10 @@ def corpus_curation(spark, sf_dir):
         .otherwise(F.lit(rate_threshold_hex(0.75)))
     )
     out = (
-        flagged.select("doc_id", "source", "is_canonical")
+        flagged.select("doc_id", "source", "is_canonical", "lang_guess",
+                       "quality", "n_tokens")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")
-        .join(lang_id(docs).select("doc_id", "lang_guess"), "doc_id")
-        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
-        .join(token_count(docs), "doc_id")
         .withColumn("is_neardup_rep", F.coalesce(F.col("_rep"), F.lit(False)))
         .withColumn("is_eval", F.col("doc_id") % 97 == 0)
         .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))

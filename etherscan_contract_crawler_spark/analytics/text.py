@@ -33,9 +33,15 @@ def lang_hits(text_col: str = "text"):
     }
 
 
-def lang_id(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """argmax language by stopword hits; ties broken by language name asc;
-    'unknown' when nothing hits."""
+    'unknown' when nothing hits. ``keep_cols`` rides extra input columns
+    through the projection (same passthrough as :func:`quality_score`)."""
     hits = lang_hits(text_col)
     best = F.lit("unknown")
     best_n = F.lit(0)
@@ -45,6 +51,7 @@ def lang_id(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") ->
         best_n = F.when(cond, hits[lang]).otherwise(best_n)
     return docs.select(
         F.col(key_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         best.alias("lang_guess"),
         best_n.cast("int").alias("hits"),
     )
@@ -91,13 +98,24 @@ def quality_score(
     )
 
 
-def fingerprint(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Normalization-stable document fingerprint: md5 of
     lower(collapse_whitespace(text)) — the F4+F3 chain
-    (solidity-naive-checksum.py:6-15) applied to documents."""
+    (solidity-naive-checksum.py:6-15) applied to documents.
+
+    ``keep_cols`` rides extra input columns through (same passthrough as
+    :func:`quality_score` — composers never need a corpus self-join on
+    doc_id just to reattach a column the scan already had)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
-        F.col(key_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+        F.col(key_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.md5(norm).alias("fingerprint"),
     )
 
 
