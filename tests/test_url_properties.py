@@ -87,3 +87,33 @@ def test_canonicalize_properties(spark, parts):
         if not p["path"] and not expect:
             assert c1.endswith(p["host"].lower() + (
                 p["port"] if p["port"] and not default else "") + "/")
+
+
+# ---------------------------------------------------------------- blocklist
+
+_bl_label = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
+_bl_host = st.lists(_bl_label, min_size=2, max_size=5).map(".".join)
+
+
+def _naive_blocked(host: str, entries: list[str]) -> str | None:
+    """Reference semantics: dot-boundary suffix or exact match; min entry."""
+    hits = [e for e in entries
+            if host == e or host.endswith("." + e)]
+    return min(hits) if hits else None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    hosts=st.lists(_bl_host, min_size=1, max_size=12, unique=True),
+    entries=st.lists(_bl_host, min_size=1, max_size=4, unique=True),
+)
+def test_blocklist_matches_naive_suffix_semantics(spark, hosts, entries):
+    from etherscan_contract_crawler_spark.functions.urls import blocklist_match
+
+    hdf = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    bdf = spark.createDataFrame([(e,) for e in entries], ["entry"])
+    got = {r.host: (r.blocked, r.matched)
+           for r in blocklist_match(hdf, bdf).collect()}
+    for h in hosts:
+        want = _naive_blocked(h, entries)
+        assert got[h] == (want is not None, want), (h, entries)
