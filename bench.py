@@ -491,6 +491,39 @@ def _compact_scaling(crawl: dict) -> dict:
     return out
 
 
+#: the driver keeps only the LAST 2,000 bytes of stdout (measured: every
+#: BENCH_r*.json ships "tail" of exactly 2,000 chars; r3's line was longer
+#: and shipped parsed:null). The final line must fit that window WHOLE —
+#: with headroom for the trailing newline and any stray runtime warning.
+DRIVER_TAIL_BYTES = 1900
+
+
+def tail_safe(summary: dict) -> dict:
+    """Shrink the stdout summary until it fits the driver's tail window.
+    Per-query timings are dropped first (they live in BENCH_DETAIL.json,
+    committed alongside); the crawl_scaling gate — the north_rule evidence —
+    is never dropped."""
+    line = json.dumps(summary)
+    if len(line) <= DRIVER_TAIL_BYTES:
+        return summary
+    items = list(summary.get("queries", {}).items())
+    summary = {**summary, "queries_truncated_see_detail_file": True}
+    keep = len(items)
+    while keep > 0 and len(line) > DRIVER_TAIL_BYTES:
+        keep -= 5
+        summary["queries"] = dict(items[: max(keep, 0)])
+        line = json.dumps(summary)
+    if len(line) > DRIVER_TAIL_BYTES:  # scaling detail alone overflows
+        cs = summary.get("crawl_scaling", {})
+        summary["crawl_scaling"] = {
+            k: cs[k]
+            for k in ("gate", "scaling_efficiency_n_to_4n",
+                      "scaling_efficiency_4_to_16", "canary")
+            if k in cs
+        }
+    return summary
+
+
 def main():
     t0 = time.time()
     # hardware ceiling FIRST, before any Spark JVM exists in this process
@@ -530,12 +563,7 @@ def main():
     )
     with open(detail_path, "w") as f:
         json.dump({**summary, "crawl_scaling": crawl}, f, indent=1)
-    line = json.dumps(summary)
-    if len(line) > 3500:  # belt and braces: never ship an unparseable tail
-        summary["queries"] = {k: v for k, v in list(queries.items())[:10]}
-        summary["queries_truncated_see_detail_file"] = True
-        line = json.dumps(summary)
-    print(line)
+    print(json.dumps(tail_safe(summary)))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,9 @@ def test_query_registry_consistent():
     assert set(entry_mod._NEWEST_FIRST) <= set(qs)
     assert set(entry_mod.oracle_sql()) <= set(qs)
     assert list(qs)[: len(entry_mod._NEWEST_FIRST)] == entry_mod._NEWEST_FIRST
-    # rows-only by design stays exactly this trio
+    # rows-only by design stays exactly this set (approximate ANN results +
+    # binary image codecs — none SQL-expressible; everything else must
+    # carry a DuckDB oracle)
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
-    assert no_oracle == {"ann_lsh_topk", "ann_ivf_topk", "images_decode_validate"}
+    assert no_oracle == {"ann_lsh_topk", "ann_ivf_topk",
+                         "images_decode_validate", "image_channel_stats"}
