@@ -5328,6 +5328,121 @@ def gopher_rules_q(spark, sf_dir):
     return gopher_rules(d.select("doc_id", t.alias("text")))
 
 
+# Magic-byte MIME sniffing (functions/media.py sniff_mime): declared
+# Content-Type vs sniffed-from-bytes, the lying-server gate a crawler needs
+# before paying decode cost. Payloads are synthesized as hex CASE arms over
+# doc_id (PNG/JPEG/GIF/WEBP/WAV/HTML/PDF/junk, three arms declaring a LIE);
+# Spark sniffs real binary via hex(substring(bytes,1,20)) prefix tests in
+# codegen, the oracle re-derives from the same hex string with starts_with —
+# structurally the same logic, no shared shortcut through m.
+_MIME_HX = """CASE {m}
+      WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
+      WHEN 1 THEN 'FFD8FFE000104A46'
+      WHEN 2 THEN '4749463839610A00'
+      WHEN 3 THEN '52494646240000005745425056503820'
+      WHEN 4 THEN '52494646240000005741564520666D74'
+      WHEN 5 THEN '3C68746D6C3E3C626F64793E'
+      WHEN 6 THEN '255044462D312E34'
+      ELSE '0001020304050607' END"""
+_MIME_DECL = """CASE {m}
+      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/png'
+      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/webp'
+      WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'image/jpeg'
+      WHEN 6 THEN 'application/pdf' ELSE 'image/png' END"""
+
+
+@_q(
+    "mime_sniff",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             {_MIME_HX.format(m="doc_id % 8")} AS hx,
+             {_MIME_DECL.format(m="doc_id % 8")} AS declared
+      FROM documents)
+    SELECT doc_id, declared,
+      CASE
+        WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+        WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+        WHEN starts_with(hx, '47494638') THEN 'image/gif'
+        WHEN starts_with(hx, '25504446') THEN 'application/pdf'
+        WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '57454250'
+          THEN 'image/webp'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '57415645'
+          THEN 'audio/wav'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '41564920'
+          THEN 'video/avi'
+        WHEN starts_with(hx, '3C') OR starts_with(hx, 'EFBBBF3C')
+          THEN 'text/html'
+        ELSE 'application/octet-stream' END AS sniffed,
+      (declared <> CASE
+        WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+        WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+        WHEN starts_with(hx, '47494638') THEN 'image/gif'
+        WHEN starts_with(hx, '25504446') THEN 'application/pdf'
+        WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '57454250'
+          THEN 'image/webp'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '57415645'
+          THEN 'audio/wav'
+        WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '41564920'
+          THEN 'video/avi'
+        WHEN starts_with(hx, '3C') OR starts_with(hx, 'EFBBBF3C')
+          THEN 'text/html'
+        ELSE 'application/octet-stream' END) AS mismatch
+    FROM p
+    """,
+)
+def mime_sniff_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.media import sniff_mime
+
+    d = _t(spark, sf_dir, "documents")
+    m = "CAST(doc_id % 8 AS INT)"
+    payload = F.unhex(F.expr(_MIME_HX.format(m=m)))
+    declared = F.expr(_MIME_DECL.format(m=m))
+    sniffed = sniff_mime(payload)
+    return d.select(
+        "doc_id",
+        declared.alias("declared"),
+        sniffed.alias("sniffed"),
+        (declared != sniffed).alias("mismatch"),
+    )
+
+
+# Hashed-linear quality classifier (analytics/text.py hashed_quality_score):
+# the CCNet/fastText pattern — tokens hash into 256 buckets, each bucket
+# carries a fixed centi-weight, keep = non-negative total. md5-hex-digit
+# bucketing + integer centi-sums make the hash and the score bit-identical
+# in both engines (no float, no integer division).
+@_q(
+    "hashed_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(coalesce(list_sum(list_transform(toks, t ->
+          (16 * (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))
+          * 37 % 101 - 50)), 0) AS BIGINT) AS score_centi,
+      (len(toks) > 0 AND coalesce(list_sum(list_transform(toks, t ->
+          (16 * (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))
+          * 37 % 101 - 50)), 0) >= 0) AS keep
+    FROM t
+    """,
+)
+def hashed_quality_score_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        hashed_quality_score,
+    )
+
+    return hashed_quality_score(_t(spark, sf_dir, "documents"))
+
+
 # Image channel-stats quality gate (operators/validate.py channel_stats):
 # decoded-pixel per-channel means, dynamic range, 8-bin luma entropy, and
 # the LAION-style keep verdict that drops solid-color placeholders and
@@ -5376,6 +5491,68 @@ def image_channel_stats(spark, sf_dir):
 
     images = keys.mapInPandas(gen, schema="image_id string, bytes binary")
     return channel_stats(images)
+
+
+# Blur/sharpness gate (operators/validate.py blur_gate): integer-quantized
+# variance-of-Laplacian over decoded luma — the LAION-style focus measure
+# that drops out-of-focus and upscale-interpolated images before training.
+# Rows-only (binary codecs aren't SQL); the synth mixes textured generator
+# payloads (sharp) with a smooth gradient (decodable but blurry), a 3x3
+# box-blurred copy (measurably softer than its original), and a corrupt
+# payload (NULL stats) so every verdict branch fires.
+@_q("image_blur_gate")
+def image_blur_gate(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+    )
+    from etherscan_contract_crawler_spark.operators.validate import blur_gate
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(
+            F.sha1(F.col("doc_id").cast("string")).alias("key"),
+            (F.col("doc_id") % 8).alias("m"),
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for r in pdf.itertuples(index=False):
+                p = payload_for_key(r.key)
+                ids.append(p["image_id"])
+                if r.m == 0:  # smooth gradient -> decodable but blurry
+                    ramp = np.linspace(0, 255, 24, dtype=np.uint8)
+                    blobs.append(encode_png(
+                        np.broadcast_to(
+                            ramp[None, :, None], (24, 24, 3)
+                        ).copy()))
+                elif r.m == 1:  # corrupt payload -> NULL stats, keep=false
+                    blobs.append(p["bytes"][:20])
+                elif r.m == 2:  # 3x3 box blur of the generator payload
+                    px = decode_image(p["bytes"]).astype(np.int64)
+                    acc = np.zeros_like(px[1:-1, 1:-1])
+                    for dy in (0, 1, 2):
+                        for dx in (0, 1, 2):
+                            acc += px[dy:px.shape[0] - 2 + dy,
+                                      dx:px.shape[1] - 2 + dx]
+                    blobs.append(encode_png((acc // 9).astype(np.uint8)))
+                else:
+                    blobs.append(p["bytes"])
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    images = keys.mapInPandas(gen, schema="image_id string, bytes binary")
+    return blur_gate(images)
 
 
 # UT1/Dolma-style domain blocklist (functions/urls.py blocklist_match): a
@@ -5513,6 +5690,7 @@ def c4_filters(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "image_blur_gate", "hashed_quality_score", "mime_sniff",
     "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",

@@ -102,6 +102,9 @@ HEADLINE = [
     "gopher_rules",
     "blocklist_filter",
     "image_channel_stats",
+    "image_blur_gate",
+    "hashed_quality_score",
+    "mime_sniff",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -665,3 +665,45 @@ def gopher_rules(
         ellipsis.cast("long").alias("ellipsis_lines"),
         keep.alias("keep"),
     )
+
+
+def hashed_quality_score(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet/fastText-style LINEAR quality classifier over hashed
+    bag-of-words features: every token hashes into one of 256 buckets and
+    contributes that bucket's weight; the document is kept when its total
+    weight is non-negative. Production pipelines load trained weights —
+    here the weight table is the fixed pseudo-random map
+    ``w(b) = (b*37) % 101 - 50`` (centi-units, -50..50) so the whole
+    operator, hash included, is reproducible in ANSI SQL for the oracle.
+
+    Portability contract (why md5 and not xxhash/murmur): the bucket is
+    derived from the first two hex digits of md5(token) via position-in-
+    alphabet arithmetic — the only hash both Spark and DuckDB evaluate
+    bit-identically. Scores are INTEGER sums (centi-weights), never
+    divided, so no float or integer-division-rounding drift exists
+    between engines; the keep rule compares the sum against zero.
+
+    Scale shape: pure projection — split/filter/aggregate higher-order
+    functions run inside whole-stage codegen, ZERO shuffles, no UDF; at
+    100 TB this is a map-only pass that composes with the scan.
+    """
+    hexpos = "instr('0123456789abcdef', {c}) - 1"
+    bucket = (
+        "(16 * (" + hexpos.format(c="substring(md5(t), 1, 1)") + ") + ("
+        + hexpos.format(c="substring(md5(t), 2, 1)") + "))"
+    )
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x <> '')"
+    score = F.expr(
+        f"aggregate({toks}, 0L, (acc, t) -> acc"
+        f" + ({bucket} * 37 % 101 - 50))"
+    )
+    return docs.select(
+        key_col,
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        score.cast("long").alias("score_centi"),
+        (
+            (F.expr(f"size({toks})") > 0) & (score >= 0)
+        ).alias("keep"),
+    )

@@ -184,3 +184,46 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(
         run, schema="image_id string, bytes binary, w int, h int, fmt string, resized boolean"
     )
+
+
+#: (uppercase-hex magic prefix, mime) in precedence order; RIFF containers
+#: are disambiguated by the format tag at bytes 9-12 (hex chars 17-24)
+MAGIC_MIME = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+]
+
+
+def sniff_mime(bytes_col):
+    """Magic-byte MIME sniffing over a binary payload column — the crawler
+    gate that catches servers lying in Content-Type (an 'image/png' that is
+    really an HTML error page, a .jpg that is a tracking GIF). Mirrors the
+    reference's implicit trust of the declared type at fetch time
+    (reference: export_contracts.py writes by extension) with the check a
+    100 TB pipeline actually needs before paying decode cost.
+
+    Pure projection: one ``hex(substring(bytes, 1, 20))`` then literal
+    prefix tests — whole-stage codegen, zero shuffles, no UDF. RIFF
+    containers check the format tag at byte offset 9-12 (WEBP vs WAV/AVI);
+    a leading '<' (after optional UTF-8 BOM) sniffs as text/html.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.hex(F.substring(bytes_col, 1, 20))
+    out = None
+    for magic, mime in MAGIC_MIME:
+        cond = h.startswith(magic)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    riff = h.startswith("52494646")
+    tag = F.substring(h, 17, 8)
+    out = (
+        out.when(riff & (tag == F.lit("57454250")), "image/webp")
+        .when(riff & (tag == F.lit("57415645")), "audio/wav")
+        .when(riff & (tag == F.lit("41564920")), "video/avi")
+        .when(h.startswith("3C"), "text/html")
+        .when(h.startswith("EFBBBF3C"), "text/html")
+    )
+    return out.otherwise("application/octet-stream")

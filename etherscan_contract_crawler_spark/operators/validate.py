@@ -165,3 +165,67 @@ def channel_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(
         run, schema=CHANNEL_STATS_DDL
     )
+
+
+BLUR_GATE_DDL = (
+    "image_id string, lap_var_q bigint, sharp boolean, keep boolean"
+)
+
+#: minimum integer-quantized Laplacian variance for a "sharp" image —
+#: calibrated on the synthetic generator: its textured payloads score
+#: in the thousands, a 9x box-blurred copy drops ~10x, and a smooth
+#: linear gradient scores ~0 (tests/test_images.py pins the ordering)
+MIN_LAP_VAR = 100
+
+
+def blur_gate(images: DataFrame) -> DataFrame:
+    """Blur/sharpness gate over DECODED pixels: integer-quantized variance
+    of the 3x3 Laplacian of the luma plane (the classic variance-of-
+    Laplacian focus measure used by LAION-style image curation to drop
+    out-of-focus and interpolation-upscaled images before training).
+
+    Exactness: luma is ITU-R 601 fixed-point (//1000, ints), the Laplacian
+    is an integer stencil, and the reported ``lap_var_q`` is the integer
+    floor of the population variance computed from integer sums
+    ((n*ss - s*s) // (n*n)) — bit-identical across partitionings, so the
+    gate is safely rerunnable under AQE/speculative retries.
+
+    Scale shape: identical to :func:`channel_stats` — ``mapInPandas`` over
+    Arrow batches, numpy stencil inside, ZERO shuffles; composes map-side
+    with fetch/validate in the landing stage. Undecodable or sub-3x3
+    payloads surface as NULL-stats rows with keep=false (P10
+    error-to-null), never exceptions.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "lap_var_q", "sharp", "keep")}
+            for r in pdf.itertuples(index=False):
+                out["image_id"].append(r.image_id)
+                try:
+                    px = decode_image(bytes(r.bytes)).astype(np.int64)
+                    if px.shape[0] < 3 or px.shape[1] < 3:
+                        raise ValueError("too small for a 3x3 stencil")
+                except Exception:
+                    out["lap_var_q"].append(None)
+                    out["sharp"].append(None)
+                    out["keep"].append(False)
+                    continue
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                core = luma[1:-1, 1:-1]
+                lap = (luma[:-2, 1:-1] + luma[2:, 1:-1] + luma[1:-1, :-2]
+                       + luma[1:-1, 2:] - 4 * core)
+                n = int(lap.size)
+                s = int(lap.sum())
+                ss = int((lap * lap).sum())
+                var_q = (n * ss - s * s) // (n * n)
+                sharp = var_q >= MIN_LAP_VAR
+                out["lap_var_q"].append(var_q)
+                out["sharp"].append(sharp)
+                out["keep"].append(bool(sharp))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=BLUR_GATE_DDL
+    )

@@ -88,3 +88,55 @@ def test_channel_stats_verdicts(spark):
     assert g.mean_r == sum(i * 4 for i in range(64)) // 64
     j = out["junk"]
     assert j.mean_r is None and j.flat is None and j.keep is False
+
+
+def test_blur_gate_ordering_and_verdicts(spark):
+    import numpy as np
+
+    from etherscan_contract_crawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+    )
+    from etherscan_contract_crawler_spark.operators.validate import (
+        MIN_LAP_VAR,
+        blur_gate,
+    )
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    import hashlib
+
+    key = hashlib.sha1(b"blurgate-fixture").hexdigest()
+    sharp_bytes = payload_for_key(key)["bytes"]
+    px = decode_image(sharp_bytes).astype(np.int64)
+    acc = np.zeros_like(px[1:-1, 1:-1])
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            acc += px[dy:px.shape[0] - 2 + dy, dx:px.shape[1] - 2 + dx]
+    blurred = encode_png((acc // 9).astype(np.uint8))
+    ramp = np.linspace(0, 255, 24, dtype=np.uint8)
+    gradient = encode_png(
+        np.broadcast_to(ramp[None, :, None], (24, 24, 3)).copy())
+    df = spark.createDataFrame(
+        [("sharp", bytearray(sharp_bytes)), ("blur", bytearray(blurred)),
+         ("grad", bytearray(gradient)), ("junk", bytearray(b"nope")),
+         ("tiny", bytearray(encode_png(
+             np.full((2, 2, 3), 7, dtype=np.uint8))))],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in blur_gate(df).collect()}
+    # focus-measure ordering: textured > box-blurred copy > smooth gradient
+    assert out["sharp"].lap_var_q > out["blur"].lap_var_q
+    assert out["blur"].lap_var_q > out["grad"].lap_var_q
+    assert out["sharp"].sharp and out["sharp"].keep
+    assert out["sharp"].lap_var_q >= MIN_LAP_VAR
+    # a horizontal luma ramp has near-zero Laplacian everywhere
+    assert not out["grad"].sharp and not out["grad"].keep
+    # error-to-null: undecodable and sub-stencil payloads never raise
+    for k in ("junk", "tiny"):
+        assert out[k].lap_var_q is None and out[k].keep is False
+    # integer-exact: same verdicts regardless of partitioning
+    again = {r.image_id: r.lap_var_q
+             for r in blur_gate(df.repartition(7)).collect()}
+    assert again == {k: v.lap_var_q for k, v in out.items()}

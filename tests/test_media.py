@@ -92,3 +92,33 @@ def test_resize_images_real_roundtrip(spark):
         px = decode_image(bytes(r.bytes))
         assert px.shape == (12, 16, 3)
     assert out["notpng"].resized is False  # pass-through, codec-gated elsewhere
+
+
+def test_sniff_mime_magic_and_mismatch(spark):
+    from pyspark.sql import functions as F
+
+    from etherscan_contract_crawler_spark.functions.media import sniff_mime
+
+    cases = [
+        ("png", bytes.fromhex("89504E470D0A1A0A0000000D49484452"), "image/png"),
+        ("jpg", bytes.fromhex("FFD8FFE000104A46"), "image/jpeg"),
+        ("gif", b"GIF89a\x0a\x00", "image/gif"),
+        ("webp", b"RIFF$\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("wav", b"RIFF$\x00\x00\x00WAVEfmt ", "audio/wav"),
+        ("avi", b"RIFF$\x00\x00\x00AVI LIST", "video/avi"),
+        ("riff_other", b"RIFF$\x00\x00\x00XXXX", "application/octet-stream"),
+        ("html", b"<html><body>", "text/html"),
+        ("bom_html", b"\xef\xbb\xbf<!doctype html>", "text/html"),
+        ("pdf", b"%PDF-1.4", "application/pdf"),
+        ("gz", b"\x1f\x8b\x08\x00", "application/gzip"),
+        ("junk", bytes(range(8)), "application/octet-stream"),
+        ("png_trunc", b"\x89PNG", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(b)) for k, b, _ in cases],
+        "k string, bytes binary",
+    )
+    got = {r.k: r.s for r in df.select(
+        "k", sniff_mime(F.col("bytes")).alias("s")).collect()}
+    for k, _, want in cases:
+        assert got[k] == want, (k, got[k], want)

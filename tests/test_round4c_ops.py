@@ -270,3 +270,36 @@ def test_gopher_rules_each_branch(spark):
     assert not out[4].keep and out[4].bullet_lines == 10
     assert not out[5].keep and out[5].ellipsis_lines == 2
     assert not out[6].keep and out[6].char_sum == 16 * 60
+import hashlib
+
+
+def _w(tok: str) -> int:
+    h = hashlib.md5(tok.encode()).hexdigest()
+    hexd = "0123456789abcdef"
+    b = 16 * hexd.index(h[0]) + hexd.index(h[1])
+    return b * 37 % 101 - 50
+
+
+def test_hashed_quality_score_exact(spark):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        hashed_quality_score,
+    )
+
+    rows = [
+        (1, "The quick brown Fox"),
+        (2, ""),
+        (3, "  spaced   out  tokens "),
+        (4, "repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hashed_quality_score(df).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        want = sum(_w(t) for t in toks)
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score_centi == want, (doc_id, toks)
+        assert r.keep == (len(toks) > 0 and want >= 0)
+    # empty doc: zero tokens, score 0, never kept
+    assert out[2].n_tokens == 0 and out[2].score_centi == 0
+    assert out[2].keep is False
