@@ -1341,6 +1341,89 @@ def robots_filter_q(spark, sf_dir):
     return robots_filter(frontier, robots).select("domain", "url_canon")
 
 
+# Full RFC 9309 wildcard robots matching (operators/robots.py keeps rules
+# VERBATIM; politeness.robots_filter compiles '*' -> '.*' and terminal '$'
+# -> end anchor JVM-side, literal rules stay on the startswith fast path;
+# specificity = raw-rule octet length, Allow wins ties). Every domain gets
+# the same 4-rule wildcard body; the oracle independently re-derives each
+# rule as an explicit anchored regex/prefix with its octet rank — no shared
+# compiler.
+def _wildcard_robots_session():
+    def fetch(domain: str) -> str | None:
+        return (
+            "User-agent: *\n"
+            "Disallow: /address/0x0*\n"
+            "Allow: /address/0x00*\n"
+            "Disallow: /files/*.pdf$\n"
+            "Disallow: /*/tmp/\n"
+        )
+
+    return fetch
+
+
+@_q(
+    "robots_wildcard_filter",
+    """
+    WITH f AS (
+      SELECT DISTINCT
+        'site' || lpad(CAST(o_custkey % 20 AS VARCHAR), 5, '0')
+               || '.example.com' AS domain,
+        CASE o_orderkey % 6
+          WHEN 0 THEN '/address/0x0' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+          WHEN 1 THEN '/address/0x00' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 5)
+          WHEN 2 THEN '/files/doc' || CAST(o_orderkey % 50 AS VARCHAR) || '.pdf'
+          WHEN 3 THEN '/files/doc' || CAST(o_orderkey % 50 AS VARCHAR) || '.pdfx'
+          WHEN 4 THEN '/a/tmp/page' || CAST(o_orderkey % 50 AS VARCHAR)
+          ELSE '/public/page' || CAST(o_orderkey % 50 AS VARCHAR) END AS path
+      FROM orders),
+    m AS (
+      SELECT domain, path,
+        greatest(
+          CASE WHEN starts_with(path, '/address/0x0') THEN 13 ELSE -1 END,
+          CASE WHEN regexp_matches(path, '^/files/.*\\.pdf$') THEN 13 ELSE -1 END,
+          CASE WHEN regexp_matches(path, '^/.*/tmp/') THEN 7 ELSE -1 END
+        ) AS best_dis,
+        CASE WHEN starts_with(path, '/address/0x00') THEN 14 ELSE -1 END
+          AS best_alw
+      FROM f)
+    SELECT domain, 'https://' || domain || path AS url_canon
+    FROM m WHERE NOT (best_dis > best_alw)
+    """,
+)
+def robots_wildcard_filter_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        robots_filter,
+    )
+    from etherscan_contract_crawler_spark.operators.robots import (
+        acquire_robots,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    domain = F.concat(
+        F.lit("site"),
+        F.lpad((F.col("o_custkey") % 20).cast("string"), 5, "0"),
+        F.lit(".example.com"),
+    )
+    k = F.col("o_orderkey")
+    h = F.md5(k.cast("string"))
+    path = (
+        F.when(k % 6 == 0, F.concat(F.lit("/address/0x0"), F.substring(h, 1, 6)))
+        .when(k % 6 == 1, F.concat(F.lit("/address/0x00"), F.substring(h, 1, 5)))
+        .when(k % 6 == 2, F.concat(F.lit("/files/doc"), (k % 50).cast("string"),
+                                   F.lit(".pdf")))
+        .when(k % 6 == 3, F.concat(F.lit("/files/doc"), (k % 50).cast("string"),
+                                   F.lit(".pdfx")))
+        .when(k % 6 == 4, F.concat(F.lit("/a/tmp/page"), (k % 50).cast("string")))
+        .otherwise(F.concat(F.lit("/public/page"), (k % 50).cast("string")))
+    )
+    frontier = o.select(
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url_canon"),
+    ).distinct()
+    robots = acquire_robots(frontier, _wildcard_robots_session)
+    return robots_filter(frontier, robots).select("domain", "url_canon")
+
+
 # stateful per-domain admission, replayed in batch through the SAME
 # _admit_group hook the streaming operator runs (streaming/ratelimit.py) —
 # the oracle is the token bucket's closed form: per-(domain, window)
@@ -5691,6 +5774,7 @@ def c4_filters(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "image_blur_gate", "hashed_quality_score", "mime_sniff",
+    "robots_wildcard_filter",
     "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",

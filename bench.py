@@ -105,6 +105,7 @@ HEADLINE = [
     "image_blur_gate",
     "hashed_quality_score",
     "mime_sniff",
+    "robots_wildcard_filter",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -58,22 +58,43 @@ def with_budget(pending: DataFrame, budgets: DataFrame | None) -> DataFrame:
 def robots_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop URLs disallowed by the robots cache dim.
 
-    ``robots`` schema: domain string, disallow array<string> (path prefixes).
-    Broadcast hash join + higher-order ``exists`` — no UDF.
+    ``robots`` schema: domain string, disallow array<string> (verbatim RFC
+    9309 rules — plain prefixes, ``*`` wildcards, terminal ``$`` anchors).
+    Broadcast hash join + higher-order ``aggregate`` — no UDF. Literal
+    rules take the fast ``startswith`` path; wildcard rules compile to an
+    anchored Java regex inside the same lambda (escape metachars, ``*`` →
+    ``.*``, terminal ``$`` → end anchor), all JVM-side.
     """
     if robots is None:
         return pending
     path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
 
+    def rule_rank(p):
+        """Octet length of rule ``p`` when it matches the path, else -1.
+        RFC 9309 §2.2.2 specificity = most octets of the RAW rule."""
+        literal = (~p.contains("*")) & (~p.contains("$"))
+        had_dollar = p.endswith("$")
+        body = F.when(
+            had_dollar, p.substr(F.lit(1), F.length(p) - 1)
+        ).otherwise(p)
+        esc = F.regexp_replace(body, r"([.\[\]{}()+\-^$|?\\])", r"\\$1")
+        reg = F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit("*"), F.lit(".*")),
+            F.when(had_dollar, F.lit("$")).otherwise(F.lit("")),
+        )
+        matched = F.when(literal, path.startswith(p)).otherwise(
+            F.regexp_like(path, reg)
+        )
+        return F.when(matched, F.length(p)).otherwise(F.lit(-1))
+
     def best_match(rules_col):
-        """Length of the longest rule prefix matching the path; -1 when
-        none match — one F.aggregate pass over the (small) rule array."""
+        """Rank of the most specific rule matching the path; -1 when none
+        match — one F.aggregate pass over the (small) rule array."""
         return F.aggregate(
             rules_col,
             F.lit(-1),
-            lambda acc, p: F.greatest(
-                acc, F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1))
-            ),
+            lambda acc, p: F.greatest(acc, rule_rank(p)),
         )
 
     # RFC 9309 §2.2.2: the most specific (longest) matching rule wins;

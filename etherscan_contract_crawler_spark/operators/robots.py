@@ -39,13 +39,15 @@ def parse_robots_full(
     body: str | None,
 ) -> tuple[list[str], list[str], float | None]:
     """Minimal RFC 9309 parse of the ``User-agent: *`` group(s):
-    ``(disallow_prefixes, allow_prefixes, crawl_delay_seconds | None)``.
+    ``(disallow_rules, allow_rules, crawl_delay_seconds | None)``.
     Comments stripped, empty Disallow/Allow (no-op) ignored, unknown
     directives skipped, non-numeric/negative Crawl-delay ignored (last
-    valid one in a ``*`` group wins). Prefix rules only — ``*``/``$``
-    wildcard rules are kept verbatim as prefixes up to the first ``*``
-    (a CONSERVATIVE over-block for Disallow, documented subset). Pure
-    function — unit-testable without Spark."""
+    valid one in a ``*`` group wins). Rules are kept VERBATIM —
+    including ``*`` (any octets) and terminal ``$`` (end anchor) —
+    and matched with full RFC 9309 wildcard semantics by
+    ``politeness.robots_filter``; rule specificity stays the raw
+    rule's octet length. Pure function — unit-testable without
+    Spark."""
     if not body:
         return [], [], None
     rules: list[str] = []
@@ -70,9 +72,9 @@ def parse_robots_full(
         else:
             seen_agent_line = False
             if key == "disallow" and in_star_group and value:
-                rules.append(value.split("*", 1)[0].rstrip("$") or "/")
+                rules.append(value)
             elif key == "allow" and in_star_group and value:
-                allows.append(value.split("*", 1)[0].rstrip("$"))
+                allows.append(value)
             elif key == "crawl-delay" and in_star_group:
                 try:
                     d = float(value)

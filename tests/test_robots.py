@@ -120,9 +120,9 @@ def test_robots_longest_match_allow(spark):
     # RFC 9309 example shape: a carve-out under a blocked subtree
     dis, alw, _ = parse_robots_full(
         "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
-        "Disallow: /wild*card\nAllow:\n"   # wildcard -> conservative prefix
+        "Disallow: /wild*card\nAllow:\n"   # wildcard kept VERBATIM
     )
-    assert dis == ["/private", "/wild"] and alw == ["/private/pub"]
+    assert dis == ["/private", "/wild*card"] and alw == ["/private/pub"]
 
     robots = spark.createDataFrame(
         [("a.com", dis, alw, None)],
@@ -133,7 +133,8 @@ def test_robots_longest_match_allow(spark):
         ("a.com", "https://a.com/private/x", False),      # disallow wins
         ("a.com", "https://a.com/private/pub/ok", True),  # longer allow wins
         ("a.com", "https://a.com/public", True),          # no rule matches
-        ("a.com", "https://a.com/wildANYcard", False),    # prefix over-block
+        ("a.com", "https://a.com/wildANYcard", False),    # * spans octets
+        ("a.com", "https://a.com/wilder", True),          # no prefix over-block
         ("b.com", "https://b.com/private/x", True),       # no dim row
     ]
     pending = spark.createDataFrame(
@@ -166,3 +167,42 @@ def test_meta_robots_union_and_token_safety(spark):
     got = df.select(meta_robots("headers", "body").alias("m")).collect()
     for r, (h, b, ni, nf) in zip(got, rows):
         assert (r.m.noindex, r.m.nofollow) == (ni, nf), (h, b)
+
+
+def test_robots_wildcard_and_dollar_semantics(spark):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          ["/address/0x0*", "/files/*.pdf$", "/*/tmp/", "/a$b"],
+          ["/address/0x00*"],
+          None)],
+        "domain string, disallow array<string>, allow array<string>, "
+        "crawl_delay double",
+    )
+    urls = [
+        # carve-out: allow '/address/0x00*' (14) beats dis '/address/0x0*' (13)
+        ("https://a.com/address/0x00cafe", True),
+        ("https://a.com/address/0x0beef", False),
+        # terminal $ anchors: .pdf blocked, .pdfx and mid-path .pdf/ not
+        ("https://a.com/files/doc7.pdf", False),
+        ("https://a.com/files/doc7.pdfx", True),
+        ("https://a.com/files/sub/doc.pdf", False),   # * spans '/'
+        # mid-path wildcard, unanchored tail
+        ("https://a.com/x/tmp/page", False),
+        ("https://a.com/tmp/page", True),             # '*' needs >= '/x'? no:
+        # '^/.*/tmp/' — '/tmp/page' has no second '/..../tmp/' = kept? NO:
+        # '.*' may be EMPTY, '^//tmp/' doesn't match '/tmp/page' -> kept
+        # mid-rule '$' is a literal octet, not an anchor
+        ("https://a.com/a$b/c", False),
+        ("https://a.com/ab/c", True),
+    ]
+    pending = spark.createDataFrame(
+        [("a.com", u, u) for u, _ in urls],
+        "domain string, url string, url_canon string",
+    )
+    kept = {r["url"] for r in robots_filter(pending, robots).collect()}
+    for u, want in urls:
+        assert (u in kept) == want, u
