@@ -5411,6 +5411,106 @@ def gopher_rules_q(spark, sf_dir):
     return gopher_rules(d.select("doc_id", t.alias("text")))
 
 
+# Image-text pair harvesting (functions/html.py img_candidates): the
+# LAION/CommonPool construction primitive — every <img> yields the bare
+# src (HTML-spec '1x' default) plus each srcset entry with its descriptor,
+# all carrying the tag's alt text. Synth pages exercise: plain img+alt,
+# 3-entry srcset, single-quoted attrs in swapped order, empty-alt → NULL,
+# a <imgx> decoy the \b boundary must reject, and no-img pages (no rows).
+@_q(
+    "img_alt_srcset",
+    """
+    WITH d0 AS (
+      SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS ds, doc_id % 5 AS m
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        CASE m
+          WHEN 1 THEN '<p>intro</p><img src="/a' || ds || '.jpg"'
+                      || ' alt="first image ' || ds || '">'
+          WHEN 2 THEN '<img src="/hero' || ds || '.png" srcset="/hero'
+                      || ds || '-s.png 1x, /hero' || ds
+                      || '-m.png 2x, /hero' || ds
+                      || '-l.png 640w" alt="hero ' || ds || '">'
+          WHEN 3 THEN '<img alt=''single ' || ds || ''' src=''/sq'
+                      || ds || '.gif''>'
+          WHEN 4 THEN '<img src="/bare' || ds
+                      || '.webp"><imgx src="/no.jpg"><img src="/c'
+                      || ds || '.webp" alt="">'
+          ELSE '<p>no images</p>' END AS body
+      FROM d0),
+    t AS (
+      SELECT doc_id, regexp_extract_all(body, '(?i)<img\\b[^>]*>') AS tags
+      FROM h),
+    x AS (
+      SELECT doc_id, tags,
+             unnest(generate_series(1, len(tags))) AS img_idx
+      FROM t),
+    b AS (
+      SELECT doc_id, img_idx, tags[img_idx] AS tag FROM x),
+    a AS (
+      SELECT doc_id, img_idx,
+        regexp_extract(tag, '(?i)\\bsrc\\s*=\\s*["'']([^"'']*)["'']', 1)
+          AS src,
+        regexp_extract(tag, '(?i)\\balt\\s*=\\s*"([^"]*)"', 1) AS alt_dq,
+        regexp_extract(tag, '(?i)\\balt\\s*=\\s*''([^'']*)''', 1) AS alt_sq,
+        regexp_extract(tag, '(?i)\\bsrcset\\s*=\\s*"([^"]*)"', 1) AS srcset
+      FROM b),
+    c AS (
+      SELECT doc_id, img_idx,
+        CASE WHEN alt_dq <> '' THEN alt_dq
+             WHEN alt_sq <> '' THEN alt_sq END AS alt,
+        list_concat(
+          CASE WHEN src <> '' THEN
+            [{'url': src, 'descr': '1x', 'from_srcset': false}]
+          ELSE [] END,
+          CASE WHEN srcset <> '' THEN
+            list_transform(string_split(srcset, ','), cand ->
+              {'url': string_split_regex(trim(cand), '\\s+')[1],
+               'descr': coalesce(string_split_regex(trim(cand), '\\s+')[2],
+                                 '1x'),
+               'from_srcset': true})
+          ELSE [] END) AS cands
+      FROM a),
+    e AS (SELECT doc_id, img_idx, alt, unnest(cands) AS cand FROM c)
+    SELECT doc_id, CAST(img_idx AS INT) AS img_idx, cand.url AS url,
+           cand.descr AS descr, alt, cand.from_srcset AS from_srcset
+    FROM e
+    """,
+)
+def img_alt_srcset(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import (
+        img_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ds = (F.col("doc_id") % 97).cast("string")
+    m = F.col("doc_id") % 5
+    body = (
+        F.when(m == 1, F.concat(
+            F.lit('<p>intro</p><img src="/a'), ds, F.lit('.jpg"'),
+            F.lit(' alt="first image '), ds, F.lit('">')))
+        .when(m == 2, F.concat(
+            F.lit('<img src="/hero'), ds, F.lit('.png" srcset="/hero'),
+            ds, F.lit('-s.png 1x, /hero'), ds,
+            F.lit('-m.png 2x, /hero'), ds,
+            F.lit('-l.png 640w" alt="hero '), ds, F.lit('">')))
+        .when(m == 3, F.concat(
+            F.lit("<img alt='single "), ds, F.lit("' src='/sq"),
+            ds, F.lit(".gif'>")))
+        .when(m == 4, F.concat(
+            F.lit('<img src="/bare'), ds,
+            F.lit('.webp"><imgx src="/no.jpg"><img src="/c'),
+            ds, F.lit('.webp" alt="">')))
+        .otherwise(F.lit("<p>no images</p>"))
+    )
+    return d.select(
+        "doc_id", F.explode(img_candidates(body)).alias("c")
+    ).select(
+        "doc_id", "c.img_idx", "c.url", "c.descr", "c.alt", "c.from_srcset"
+    )
+
+
 # Magic-byte MIME sniffing (functions/media.py sniff_mime): declared
 # Content-Type vs sniffed-from-bytes, the lying-server gate a crawler needs
 # before paying decode cost. Payloads are synthesized as hex CASE arms over
@@ -5774,7 +5874,7 @@ def c4_filters(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "image_blur_gate", "hashed_quality_score", "mime_sniff",
-    "robots_wildcard_filter",
+    "robots_wildcard_filter", "img_alt_srcset",
     "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",

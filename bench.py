@@ -106,6 +106,7 @@ HEADLINE = [
     "hashed_quality_score",
     "mime_sniff",
     "robots_wildcard_filter",
+    "img_alt_srcset",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -203,3 +203,84 @@ def hreflang_alternates(body: Column | str) -> Column:
             F.regexp_extract(t, _HREF_ATTR_RE, 1).alias("href"),
         ),
     )
+
+
+_IMG_TAG_RE = r"(?i)<img\b[^>]*>"
+_SRC_ATTR_RE = r"""(?i)\bsrc\s*=\s*["']([^"']*)["']"""
+_ALT_DQ_RE = r'(?i)\balt\s*=\s*"([^"]*)"'
+_ALT_SQ_RE = r"(?i)\balt\s*=\s*'([^']*)'"
+_SRCSET_ATTR_RE = r'(?i)\bsrcset\s*=\s*"([^"]*)"'
+_IMG_CAND_T = (
+    "array<struct<img_idx:int,url:string,descr:string,"
+    "alt:string,from_srcset:boolean>>"
+)
+
+
+def img_candidates(body: Column | str) -> Column:
+    """Image-text pair harvesting — the LAION/CommonPool construction
+    primitive: every ``<img>`` tag yields one candidate per source (the
+    bare ``src`` as the HTML-spec ``1x`` default, plus each ``srcset``
+    entry with its density/width descriptor), each carrying the tag's
+    ``alt`` text (double- or single-quoted; absent/empty → NULL).
+
+    Returns ``array<struct<img_idx, url, descr, alt, from_srcset>>``
+    (``img_idx`` 1-based in document order) for the caller to explode
+    next to doc_id/page_url. Quoted attribute values only (the regex
+    flatten contract of this module); all patterns RE2-safe so the
+    DuckDB oracle runs the same chain.
+
+    Pure Column projection — regexp_extract_all + nested transform,
+    zero shuffles until the caller's explode (a Generate, still no
+    exchange); at 100 TB this is a scan-speed pass over landed HTML.
+    """
+    b = F.col(body) if isinstance(body, str) else body
+    tags = F.regexp_extract_all(b, F.lit(_IMG_TAG_RE), F.lit(0))
+    empty = F.array().cast(
+        "array<struct<url:string,descr:string,from_srcset:boolean>>"
+    )
+
+    def per_tag(t, i):
+        src = F.regexp_extract(t, _SRC_ATTR_RE, 1)
+        alt_dq = F.regexp_extract(t, _ALT_DQ_RE, 1)
+        alt_sq = F.regexp_extract(t, _ALT_SQ_RE, 1)
+        alt = (
+            F.when(alt_dq != "", alt_dq)
+            .when(alt_sq != "", alt_sq)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        srcset = F.regexp_extract(t, _SRCSET_ATTR_RE, 1)
+
+        def srcset_entry(c):
+            parts = F.split(F.trim(c), r"\s+")
+            return F.struct(
+                F.get(parts, 0).alias("url"),
+                F.coalesce(F.get(parts, 1), F.lit("1x")).alias("descr"),
+                F.lit(True).alias("from_srcset"),
+            )
+
+        cands = F.concat(
+            F.when(
+                src != "",
+                F.array(F.struct(
+                    src.alias("url"),
+                    F.lit("1x").alias("descr"),
+                    F.lit(False).alias("from_srcset"),
+                )),
+            ).otherwise(empty),
+            F.when(
+                srcset != "",
+                F.transform(F.split(srcset, ","), srcset_entry),
+            ).otherwise(empty),
+        )
+        return F.transform(
+            cands,
+            lambda c: F.struct(
+                (i + 1).cast("int").alias("img_idx"),
+                c["url"].alias("url"),
+                c["descr"].alias("descr"),
+                alt.alias("alt"),
+                c["from_srcset"].alias("from_srcset"),
+            ),
+        )
+
+    return F.flatten(F.transform(tags, per_tag)).cast(_IMG_CAND_T)

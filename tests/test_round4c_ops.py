@@ -303,3 +303,38 @@ def test_hashed_quality_score_exact(spark):
     # empty doc: zero tokens, score 0, never kept
     assert out[2].n_tokens == 0 and out[2].score_centi == 0
     assert out[2].keep is False
+
+
+def test_img_candidates_harvest(spark):
+    from pyspark.sql import functions as F
+
+    from etherscan_contract_crawler_spark.functions.html import (
+        img_candidates,
+    )
+
+    rows = [
+        (1, '<img src="/a.jpg" alt="cat photo">'),
+        (2, '<IMG SRC="/up.png">'),                       # case-insensitive
+        (3, '<img srcset="/s.png 1x,/m.png 2x" src="/d.png" alt="x">'),
+        (4, "<img alt='sq' src='/q.gif'>"),
+        (5, '<imgx src="/decoy.jpg"><p>no real img</p>'),
+        (6, '<img src="/one.jpg"><img src="/two.jpg" alt="second">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    got = df.select(
+        "doc_id", F.explode(img_candidates("body")).alias("c")
+    ).select("doc_id", "c.*").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [(r.url, r.descr, r.alt, r.from_srcset) for r in by_doc[1]] == [
+        ("/a.jpg", "1x", "cat photo", False)]
+    assert [(r.url, r.alt) for r in by_doc[2]] == [("/up.png", None)]
+    # bare src first (the HTML-spec 1x default), then srcset entries —
+    # whitespace-free comma splits included
+    assert [(r.url, r.descr, r.from_srcset) for r in by_doc[3]] == [
+        ("/d.png", "1x", False), ("/s.png", "1x", True), ("/m.png", "2x", True)]
+    assert [(r.url, r.alt) for r in by_doc[4]] == [("/q.gif", "sq")]
+    assert 5 not in by_doc                      # decoy tag yields nothing
+    assert [(r.img_idx, r.url, r.alt) for r in by_doc[6]] == [
+        (1, "/one.jpg", None), (2, "/two.jpg", "second")]
