@@ -5421,7 +5421,7 @@ def gopher_rules_q(spark, sf_dir):
     "img_alt_srcset",
     """
     WITH d0 AS (
-      SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS ds, doc_id % 5 AS m
+      SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS ds, doc_id % 6 AS m
       FROM documents),
     h AS (
       SELECT doc_id,
@@ -5437,6 +5437,9 @@ def gopher_rules_q(spark, sf_dir):
           WHEN 4 THEN '<img src="/bare' || ds
                       || '.webp"><imgx src="/no.jpg"><img src="/c'
                       || ds || '.webp" alt="">'
+          WHEN 5 THEN '<img data-src="/lazy' || ds
+                      || '.jpg" data-srcset="/lazy' || ds
+                      || '-m.jpg 2x" alt="lazy ' || ds || '">'
           ELSE '<p>no images</p>' END AS body
       FROM d0),
     t AS (
@@ -5450,11 +5453,19 @@ def gopher_rules_q(spark, sf_dir):
       SELECT doc_id, img_idx, tags[img_idx] AS tag FROM x),
     a AS (
       SELECT doc_id, img_idx,
-        regexp_extract(tag, '(?i)\\bsrc\\s*=\\s*["'']([^"'']*)["'']', 1)
-          AS src,
-        regexp_extract(tag, '(?i)\\balt\\s*=\\s*"([^"]*)"', 1) AS alt_dq,
-        regexp_extract(tag, '(?i)\\balt\\s*=\\s*''([^'']*)''', 1) AS alt_sq,
-        regexp_extract(tag, '(?i)\\bsrcset\\s*=\\s*"([^"]*)"', 1) AS srcset
+        CASE WHEN regexp_extract(tag,
+               '(?i)\\ssrc\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''
+             THEN regexp_extract(tag,
+               '(?i)\\ssrc\\s*=\\s*["'']([^"'']*)["'']', 1)
+             ELSE regexp_extract(tag,
+               '(?i)\\sdata-src\\s*=\\s*["'']([^"'']*)["'']', 1) END AS src,
+        regexp_extract(tag, '(?i)\\salt\\s*=\\s*"([^"]*)"', 1) AS alt_dq,
+        regexp_extract(tag, '(?i)\\salt\\s*=\\s*''([^'']*)''', 1) AS alt_sq,
+        CASE WHEN regexp_extract(tag,
+               '(?i)\\ssrcset\\s*=\\s*"([^"]*)"', 1) <> ''
+             THEN regexp_extract(tag, '(?i)\\ssrcset\\s*=\\s*"([^"]*)"', 1)
+             ELSE regexp_extract(tag,
+               '(?i)\\sdata-srcset\\s*=\\s*"([^"]*)"', 1) END AS srcset
       FROM b),
     c AS (
       SELECT doc_id, img_idx,
@@ -5485,7 +5496,7 @@ def img_alt_srcset(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     ds = (F.col("doc_id") % 97).cast("string")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     body = (
         F.when(m == 1, F.concat(
             F.lit('<p>intro</p><img src="/a'), ds, F.lit('.jpg"'),
@@ -5502,6 +5513,10 @@ def img_alt_srcset(spark, sf_dir):
             F.lit('<img src="/bare'), ds,
             F.lit('.webp"><imgx src="/no.jpg"><img src="/c'),
             ds, F.lit('.webp" alt="">')))
+        .when(m == 5, F.concat(
+            F.lit('<img data-src="/lazy'), ds,
+            F.lit('.jpg" data-srcset="/lazy'), ds,
+            F.lit('-m.jpg 2x" alt="lazy '), ds, F.lit('">')))
         .otherwise(F.lit("<p>no images</p>"))
     )
     return d.select(

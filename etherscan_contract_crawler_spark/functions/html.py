@@ -206,10 +206,16 @@ def hreflang_alternates(body: Column | str) -> Column:
 
 
 _IMG_TAG_RE = r"(?i)<img\b[^>]*>"
-_SRC_ATTR_RE = r"""(?i)\bsrc\s*=\s*["']([^"']*)["']"""
-_ALT_DQ_RE = r'(?i)\balt\s*=\s*"([^"]*)"'
-_ALT_SQ_RE = r"(?i)\balt\s*=\s*'([^']*)'"
-_SRCSET_ATTR_RE = r'(?i)\bsrcset\s*=\s*"([^"]*)"'
+#: attribute starts are \s-anchored, not \b-anchored: RE2 (the oracle
+#: engine) has no lookbehind, and \bsrc= would also fire inside the
+#: lazy-loading data-src= ('-' is a word boundary) — \s keeps plain and
+#: data- attributes distinct in both engines
+_SRC_ATTR_RE = r"""(?i)\ssrc\s*=\s*["']([^"']*)["']"""
+_DATA_SRC_RE = r"""(?i)\sdata-src\s*=\s*["']([^"']*)["']"""
+_ALT_DQ_RE = r'(?i)\salt\s*=\s*"([^"]*)"'
+_ALT_SQ_RE = r"(?i)\salt\s*=\s*'([^']*)'"
+_SRCSET_ATTR_RE = r'(?i)\ssrcset\s*=\s*"([^"]*)"'
+_DATA_SRCSET_RE = r'(?i)\sdata-srcset\s*=\s*"([^"]*)"'
 _IMG_CAND_T = (
     "array<struct<img_idx:int,url:string,descr:string,"
     "alt:string,from_srcset:boolean>>"
@@ -240,7 +246,12 @@ def img_candidates(body: Column | str) -> Column:
     )
 
     def per_tag(t, i):
-        src = F.regexp_extract(t, _SRC_ATTR_RE, 1)
+        # lazy-loading fallback: a tag without src/srcset but with
+        # data-src/data-srcset (the common lazy-loader contract) yields
+        # its deferred sources; real attributes win when both exist
+        src_plain = F.regexp_extract(t, _SRC_ATTR_RE, 1)
+        src_lazy = F.regexp_extract(t, _DATA_SRC_RE, 1)
+        src = F.when(src_plain != "", src_plain).otherwise(src_lazy)
         alt_dq = F.regexp_extract(t, _ALT_DQ_RE, 1)
         alt_sq = F.regexp_extract(t, _ALT_SQ_RE, 1)
         alt = (
@@ -248,7 +259,11 @@ def img_candidates(body: Column | str) -> Column:
             .when(alt_sq != "", alt_sq)
             .otherwise(F.lit(None).cast("string"))
         )
-        srcset = F.regexp_extract(t, _SRCSET_ATTR_RE, 1)
+        srcset_plain = F.regexp_extract(t, _SRCSET_ATTR_RE, 1)
+        srcset_lazy = F.regexp_extract(t, _DATA_SRCSET_RE, 1)
+        srcset = F.when(srcset_plain != "", srcset_plain).otherwise(
+            srcset_lazy
+        )
 
         def srcset_entry(c):
             parts = F.split(F.trim(c), r"\s+")

@@ -338,3 +338,29 @@ def test_img_candidates_harvest(spark):
     assert 5 not in by_doc                      # decoy tag yields nothing
     assert [(r.img_idx, r.url, r.alt) for r in by_doc[6]] == [
         (1, "/one.jpg", None), (2, "/two.jpg", "second")]
+
+
+def test_img_candidates_lazy_load(spark):
+    from pyspark.sql import functions as F
+
+    from etherscan_contract_crawler_spark.functions.html import (
+        img_candidates,
+    )
+
+    rows = [
+        (1, '<img data-src="/lz.jpg" alt="lazy">'),
+        (2, '<img data-srcset="/lz-s.jpg 1x, /lz-m.jpg 2x">'),
+        # real src wins over data-src when both present
+        (3, '<img src="/real.jpg" data-src="/placeholder.gif">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    got = {}
+    for r in df.select(
+        "doc_id", F.explode(img_candidates("body")).alias("c")
+    ).select("doc_id", "c.*").collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert [(r.url, r.descr, r.alt, r.from_srcset) for r in got[1]] == [
+        ("/lz.jpg", "1x", "lazy", False)]
+    assert [(r.url, r.descr) for r in got[2]] == [
+        ("/lz-s.jpg", "1x"), ("/lz-m.jpg", "2x")]
+    assert [(r.url,) for r in got[3]] == [("/real.jpg",)]
