@@ -5526,6 +5526,106 @@ def img_alt_srcset(spark, sf_dir):
     )
 
 
+# Flagship image-curation pipeline — the image-axis analog of
+# corpus_curation, composed the way a LAION-style builder would run it:
+# harvest <img> candidates (functions/html.py img_candidates, incl. lazy
+# data-src) -> pick the densest source per img (argmax over the descriptor
+# rank, one struct-max agg) -> fetch payloads (deterministic synth; two
+# injected failure branches: magic stripped -> MIME gate drop, truncated
+# body -> decode gate drop, plus solid-color payloads the entropy gate
+# drops) -> magic-byte MIME gate (functions/media.py sniff_mime) -> FUSED
+# single-decode quality gates + phash (operators/validate.py
+# image_quality_gates) -> exact-phash canonical keep (min image_id per
+# hash group). Rows-only: the decode stages aren't SQL; pytest pins
+# partition invariance and that every gate branch fires
+# (tests/test_images.py).
+@_q("image_curation")
+def image_curation(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.html import (
+        img_candidates,
+    )
+    from etherscan_contract_crawler_spark.functions.images import encode_png
+    from etherscan_contract_crawler_spark.functions.media import sniff_mime
+    from etherscan_contract_crawler_spark.operators.validate import (
+        image_quality_gates,
+    )
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    ks = (F.col("doc_id") % 24).cast("string")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<img src="/cat'), ks, F.lit('.png" alt="cat '), ks,
+            F.lit('">')))
+        .when(m == 1, F.concat(
+            F.lit('<img src="/dog'), ks, F.lit('-s.png" srcset="/dog'),
+            ks, F.lit('-s.png 1x, /dog'), ks,
+            F.lit('-m.png 2x" alt="dog">')))
+        .when(m == 2, F.concat(
+            F.lit('<img data-src="/lzy'), ks, F.lit('.png" alt="lazy">')))
+        .otherwise(F.concat(
+            F.lit('<img src="/a'), ks, F.lit('.png"><img src="/b'), ks,
+            F.lit('.png">')))
+    )
+    cand = d.select(
+        "doc_id", F.explode(img_candidates(body)).alias("c")
+    ).select(
+        "doc_id", "c.img_idx", "c.url", "c.descr",
+    )
+    num = F.regexp_extract("descr", "^([0-9]+)", 1).cast("long")
+    rank = F.when(F.col("descr").endswith("x"), num * 1000).otherwise(num)
+    urls = (
+        cand.groupBy("doc_id", "img_idx")
+        .agg(F.max(F.struct(rank.alias("r"),
+                            F.col("url").alias("url"))).alias("b"))
+        .select(F.col("b.url").alias("url"))
+        .distinct()
+    )
+    imgs = urls.select("url", F.sha1(F.col("url")).alias("image_id"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, us, blobs = [], [], []
+            for r in pdf.itertuples(index=False):
+                b = payload_for_key(r.image_id)["bytes"]
+                hv = int(r.image_id[:4], 16)
+                if hv % 11 == 0:
+                    b = b[4:60]        # magic stripped -> MIME gate drop
+                elif hv % 11 == 1:
+                    b = b[:15]         # magic intact, body gone -> decode drop
+                elif hv % 11 == 2:     # solid color -> entropy/flat drop
+                    b = encode_png(
+                        np.full((16, 16, 3), hv % 256, dtype=np.uint8))
+                ids.append(r.image_id)
+                us.append(r.url)
+                blobs.append(b)
+            yield pd.DataFrame({"image_id": ids, "url": us, "bytes": blobs})
+
+    fetched = imgs.mapInPandas(
+        fetch, "image_id string, url string, bytes binary")
+    mimed = fetched.withColumn("mime", sniff_mime(F.col("bytes")))
+    ok = mimed.filter(F.col("mime").startswith("image/"))
+    gated = image_quality_gates(ok).filter("keep").join(
+        ok.select("image_id", "url", "mime"), "image_id")
+    return (
+        gated.groupBy("phash")
+        .agg(
+            F.min("image_id").alias("image_id"),
+            F.min_by("url", "image_id").alias("url"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("image_id", "url", "phash", "n_copies")
+    )
+
+
 # Magic-byte MIME sniffing (functions/media.py sniff_mime): declared
 # Content-Type vs sniffed-from-bytes, the lying-server gate a crawler needs
 # before paying decode cost. Payloads are synthesized as hex CASE arms over
@@ -5889,7 +5989,7 @@ def c4_filters(spark, sf_dir):
 _NEWEST_FIRST = [
     # round 4
     "image_blur_gate", "hashed_quality_score", "mime_sniff",
-    "robots_wildcard_filter", "img_alt_srcset",
+    "robots_wildcard_filter", "img_alt_srcset", "image_curation",
     "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",

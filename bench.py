@@ -107,6 +107,7 @@ HEADLINE = [
     "mime_sniff",
     "robots_wildcard_filter",
     "img_alt_srcset",
+    "image_curation",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -194,6 +194,11 @@ MAGIC_MIME = [
     ("47494638", "image/gif"),
     ("25504446", "application/pdf"),
     ("1F8B", "application/gzip"),
+    # the sandbox's deterministic lossy stand-in codec (functions/images.py
+    # _QJPG_MAGIC) — registered so the curation pipeline's MIME gate treats
+    # synth lossy payloads as images, the way a production table would
+    # carry real JPEG magic
+    ("514A5047", "image/qjpg"),
 ]
 
 

@@ -229,3 +229,73 @@ def blur_gate(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(
         run, schema=BLUR_GATE_DDL
     )
+
+
+QUALITY_GATES_DDL = (
+    "image_id string, dyn_range int, entropy_q double, flat boolean, "
+    "lap_var_q bigint, sharp boolean, phash bigint, keep boolean"
+)
+
+
+def image_quality_gates(images: DataFrame) -> DataFrame:
+    """FUSED image-quality pass: channel/entropy stats, blur gate, and the
+    perceptual hash in ONE decode per payload — the operator the curation
+    pipeline actually wants at 100 TB, where decoding is the dominant cost
+    and running :func:`channel_stats`, :func:`blur_gate`, and a phash stage
+    separately would decode every image three times.
+
+    Same exactness contracts as the single-purpose operators (integer
+    sums, fixed-point luma, integer-quantized Laplacian variance,
+    fixed-point DCT phash); undecodable/sub-stencil payloads surface as
+    NULL-stats keep=false rows. ``mapInPandas`` over Arrow batches,
+    ZERO shuffles — composes map-side with the landing stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "dyn_range", "entropy_q", "flat",
+                "lap_var_q", "sharp", "phash", "keep")}
+            for r in pdf.itertuples(index=False):
+                out["image_id"].append(r.image_id)
+                try:
+                    px = decode_image(bytes(r.bytes)).astype(np.int64)
+                    if px.shape[0] < 3 or px.shape[1] < 3:
+                        raise ValueError("too small for a 3x3 stencil")
+                except Exception:
+                    for k in ("dyn_range", "entropy_q", "flat",
+                              "lap_var_q", "sharp", "phash"):
+                        out[k].append(None)
+                    out["keep"].append(False)
+                    continue
+                n = px.shape[0] * px.shape[1]
+                dyn = int(px.max() - px.min())
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                bins = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+                p = bins[bins > 0] / n
+                ent = float(-(p * np.log2(p)).sum())
+                flat = dyn < FLAT_DYN_RANGE
+                core = luma[1:-1, 1:-1]
+                lap = (luma[:-2, 1:-1] + luma[2:, 1:-1] + luma[1:-1, :-2]
+                       + luma[1:-1, 2:] - 4 * core)
+                ln = int(lap.size)
+                s = int(lap.sum())
+                ss = int((lap * lap).sum())
+                var_q = (ln * ss - s * s) // (ln * ln)
+                sharp = var_q >= MIN_LAP_VAR
+                # phash64 packs signed-int64 already (Spark LongType)
+                ph_signed = phash64(px.astype(np.uint8))
+                out["dyn_range"].append(dyn)
+                out["entropy_q"].append(round(ent, 6))
+                out["flat"].append(flat)
+                out["lap_var_q"].append(var_q)
+                out["sharp"].append(sharp)
+                out["phash"].append(ph_signed)
+                out["keep"].append(bool(
+                    not flat and ent >= MIN_ENTROPY_BITS and sharp))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=QUALITY_GATES_DDL
+    )

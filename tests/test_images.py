@@ -140,3 +140,67 @@ def test_blur_gate_ordering_and_verdicts(spark):
     again = {r.image_id: r.lap_var_q
              for r in blur_gate(df.repartition(7)).collect()}
     assert again == {k: v.lap_var_q for k, v in out.items()}
+
+
+def test_image_quality_gates_fused_consistency(spark):
+    """The fused single-decode operator must agree bit-for-bit with the
+    single-purpose channel_stats / blur_gate / phash64 it fuses."""
+    import hashlib
+
+    import numpy as np
+
+    from etherscan_contract_crawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+        phash64,
+    )
+    from etherscan_contract_crawler_spark.operators.validate import (
+        blur_gate,
+        channel_stats,
+        image_quality_gates,
+    )
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    rows = []
+    for i in range(6):
+        key = hashlib.sha1(f"fused-{i}".encode()).hexdigest()
+        rows.append((key, bytearray(payload_for_key(key)["bytes"])))
+    rows.append(("solid", bytearray(
+        encode_png(np.full((12, 12, 3), 50, dtype=np.uint8)))))
+    rows.append(("junk", bytearray(b"broken")))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    fused = {r.image_id: r for r in image_quality_gates(df).collect()}
+    chan = {r.image_id: r for r in channel_stats(df).collect()}
+    blur = {r.image_id: r for r in blur_gate(df).collect()}
+    assert set(fused) == set(chan) == set(blur)
+    for k, b in rows:
+        assert fused[k].dyn_range == chan[k].dyn_range
+        assert fused[k].entropy_q == chan[k].entropy_q
+        assert fused[k].flat == chan[k].flat
+        assert fused[k].lap_var_q == blur[k].lap_var_q
+        assert fused[k].sharp == blur[k].sharp
+        if fused[k].phash is not None:
+            assert fused[k].phash == phash64(decode_image(bytes(b)))
+        assert fused[k].keep == bool(
+            chan[k].keep and blur[k].keep)
+    assert fused["junk"].keep is False and fused["junk"].phash is None
+    assert fused["solid"].keep is False          # flat gate fires
+
+
+def test_image_curation_pipeline(spark):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["image_curation"]
+    out = q(spark, "/root/testdata/sf0.001").collect()
+    assert out, "curation produced no kept images"
+    # canonical rows: distinct phash groups, each with a stable min id
+    phashes = [r.phash for r in out]
+    assert len(phashes) == len(set(phashes))
+    assert all(r.n_copies >= 1 for r in out)
+    # partition invariance: same canonical set regardless of planning run
+    again = q(spark, "/root/testdata/sf0.001").collect()
+    assert sorted((r.image_id, r.phash, r.n_copies) for r in out) == \
+        sorted((r.image_id, r.phash, r.n_copies) for r in again)
