@@ -5626,6 +5626,67 @@ def image_curation(spark, sf_dir):
     )
 
 
+# CommonPool/LAION-style caption quality gate (analytics/text.py
+# caption_quality): the text-side filters for image-text pairs — filename
+# alts, too short/long, single-word, mostly non-alphabetic — applied
+# before any CLIP-scoring is paid for. Integer cross-multiplied ratios,
+# anchored filename regex identical in both engines.
+@_q(
+    "caption_filter",
+    """
+    WITH a AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'a tabby cat sitting on a windowsill '
+                      || CAST(doc_id % 97 AS VARCHAR)
+          WHEN 1 THEN 'IMG_' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                      || '.jpg'
+          WHEN 2 THEN 'ok'
+          WHEN 3 THEN '12345 67890 33333'
+          WHEN 4 THEN 'photo-' || CAST(doc_id % 97 AS VARCHAR) || '.webp'
+          WHEN 5 THEN 'landscape'
+          ELSE repeat('very long caption ', 15) END AS alt
+      FROM documents)
+    SELECT doc_id, alt,
+      CAST(length(alt) AS BIGINT) AS n_chars,
+      CAST(len(list_filter(string_split_regex(alt, '\\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_words,
+      CAST(length(regexp_replace(alt, '[^A-Za-z]', '', 'g'))
+           AS BIGINT) AS n_alpha,
+      regexp_matches(alt,
+        '(?i)^[\\w.-]+\\.(jpe?g|png|gif|webp|bmp|tiff?)$') AS is_filename,
+      (length(alt) BETWEEN 5 AND 200
+       AND len(list_filter(string_split_regex(alt, '\\s+'),
+                           x -> x <> '')) >= 2
+       AND NOT regexp_matches(alt,
+         '(?i)^[\\w.-]+\\.(jpe?g|png|gif|webp|bmp|tiff?)$')
+       AND 2 * length(regexp_replace(alt, '[^A-Za-z]', '', 'g'))
+           >= length(alt)) AS keep
+    FROM a
+    """,
+)
+def caption_filter(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        caption_quality,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ds = (F.col("doc_id") % 97).cast("string")
+    m = F.col("doc_id") % 7
+    alt = (
+        F.when(m == 0, F.concat(
+            F.lit("a tabby cat sitting on a windowsill "), ds))
+        .when(m == 1, F.concat(
+            F.lit("IMG_"), F.lpad(ds, 4, "0"), F.lit(".jpg")))
+        .when(m == 2, F.lit("ok"))
+        .when(m == 3, F.lit("12345 67890 33333"))
+        .when(m == 4, F.concat(F.lit("photo-"), ds, F.lit(".webp")))
+        .when(m == 5, F.lit("landscape"))
+        .otherwise(F.repeat(F.lit("very long caption "), 15))
+    )
+    return caption_quality(d.select("doc_id", alt.alias("alt")))
+
+
 # Magic-byte MIME sniffing (functions/media.py sniff_mime): declared
 # Content-Type vs sniffed-from-bytes, the lying-server gate a crawler needs
 # before paying decode cost. Payloads are synthesized as hex CASE arms over
@@ -5990,6 +6051,7 @@ _NEWEST_FIRST = [
     # round 4
     "image_blur_gate", "hashed_quality_score", "mime_sniff",
     "robots_wildcard_filter", "img_alt_srcset", "image_curation",
+    "caption_filter",
     "gopher_rules", "image_channel_stats", "blocklist_filter", "c4_filters",
     "hreflang_extract", "error_spike_alert",
     "exif_gps_scrub", "kcenter_sample", "tfidf_cosine_pairs",

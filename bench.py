@@ -108,6 +108,7 @@ HEADLINE = [
     "robots_wildcard_filter",
     "img_alt_srcset",
     "image_curation",
+    "caption_filter",
 ]
 
 #: one compute-dominated epoch per run (BASELINE.md: wall measured over a

@@ -707,3 +707,42 @@ def hashed_quality_score(
             (F.expr(f"size({toks})") > 0) & (score >= 0)
         ).alias("keep"),
     )
+
+
+def caption_quality(
+    docs: DataFrame, key_cols: tuple = ("doc_id",), alt_col: str = "alt"
+) -> DataFrame:
+    """CommonPool/LAION-style caption (alt-text) quality gate for
+    image-text pairs: drop captions that are filenames, too short/long,
+    single-word, or mostly non-alphabetic — the text-side filters DataComp
+    applies before CLIP-score filtering is paid for.
+
+    Rules (each surfaced as its own column so downstream mixes can weigh
+    them; every ratio an integer cross-multiplication, no floats):
+    ``n_chars`` in [5, 200], ``n_words`` >= 2, NOT a bare image filename
+    (``name.ext`` with no spaces, ext in the web image set), and
+    ``2 * n_alpha >= n_chars``. Pure projection — split/regex in
+    whole-stage codegen, zero shuffles, scan-speed at 100 TB.
+    """
+    a = F.col(alt_col)
+    n_chars = F.length(a)
+    words = F.filter(F.split(a, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace(a, r"[^A-Za-z]", ""))
+    is_filename = a.rlike(
+        r"(?i)^[\w.-]+\.(jpe?g|png|gif|webp|bmp|tiff?)$")
+    keep = (
+        n_chars.between(5, 200)
+        & (n_words >= 2)
+        & (~is_filename)
+        & (2 * n_alpha >= n_chars)
+    )
+    return docs.select(
+        *key_cols,
+        a.alias("alt"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_alpha.cast("long").alias("n_alpha"),
+        is_filename.alias("is_filename"),
+        keep.alias("keep"),
+    )

@@ -364,3 +364,28 @@ def test_img_candidates_lazy_load(spark):
     assert [(r.url, r.descr) for r in got[2]] == [
         ("/lz-s.jpg", "1x"), ("/lz-m.jpg", "2x")]
     assert [(r.url,) for r in got[3]] == [("/real.jpg",)]
+
+
+def test_caption_quality_rules(spark):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        caption_quality,
+    )
+
+    rows = [
+        (1, "a dog on the beach", True),
+        (2, "IMG_0042.jpg", False),          # filename
+        (3, "dsc-123.JPEG", False),          # filename, case-insensitive
+        (4, "hi", False),                    # too short
+        (5, "mountain", False),              # single word
+        (6, "12345 67890", False),           # non-alphabetic
+        (7, "x " * 150, False),              # too long (300 chars)
+        (8, "my IMG_0042.jpg photo", True),  # filename only when bare
+        (9, "ab cd", True),                  # boundary: 5 chars, 2 words
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a, _ in rows], "doc_id long, alt string")
+    got = {r.doc_id: r for r in caption_quality(df).collect()}
+    for i, a, want in rows:
+        assert got[i].keep == want, (i, a, got[i])
+    assert got[2].is_filename and got[3].is_filename
+    assert not got[8].is_filename
