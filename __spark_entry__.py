@@ -5613,8 +5613,10 @@ def image_curation(spark, sf_dir):
         fetch, "image_id string, url string, bytes binary")
     mimed = fetched.withColumn("mime", sniff_mime(F.col("bytes")))
     ok = mimed.filter(F.col("mime").startswith("image/"))
-    gated = image_quality_gates(ok).filter("keep").join(
-        ok.select("image_id", "url", "mime"), "image_id")
+    # keep_cols passthrough, NOT a join back to `ok` — a self-join here
+    # makes Spark recompute the whole harvest+fetch subtree for the
+    # second arm (caught in the plan audit, PLANS.md)
+    gated = image_quality_gates(ok, keep_cols=("url", "mime")).filter("keep")
     return (
         gated.groupBy("phash")
         .agg(

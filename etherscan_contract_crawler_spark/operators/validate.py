@@ -237,7 +237,9 @@ QUALITY_GATES_DDL = (
 )
 
 
-def image_quality_gates(images: DataFrame) -> DataFrame:
+def image_quality_gates(
+    images: DataFrame, keep_cols: tuple = ()
+) -> DataFrame:
     """FUSED image-quality pass: channel/entropy stats, blur gate, and the
     perceptual hash in ONE decode per payload — the operator the curation
     pipeline actually wants at 100 TB, where decoding is the dominant cost
@@ -249,15 +251,27 @@ def image_quality_gates(images: DataFrame) -> DataFrame:
     fixed-point DCT phash); undecodable/sub-stencil payloads surface as
     NULL-stats keep=false rows. ``mapInPandas`` over Arrow batches,
     ZERO shuffles — composes map-side with the landing stage.
+
+    ``keep_cols`` names input columns to pass through unchanged (schema
+    taken from the input) — the no-join alternative to re-attaching
+    metadata afterwards, which would make Spark recompute the whole
+    upstream (fetch included) for the second join arm.
     """
+    extra = [images.schema[c] for c in keep_cols]
+    out_schema = QUALITY_GATES_DDL + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in extra
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
                 "image_id", "dyn_range", "entropy_q", "flat",
-                "lap_var_q", "sharp", "phash", "keep")}
+                "lap_var_q", "sharp", "phash", "keep",
+                *(f.name for f in extra))}
             for r in pdf.itertuples(index=False):
                 out["image_id"].append(r.image_id)
+                for f in extra:
+                    out[f.name].append(getattr(r, f.name))
                 try:
                     px = decode_image(bytes(r.bytes)).astype(np.int64)
                     if px.shape[0] < 3 or px.shape[1] < 3:
@@ -296,6 +310,6 @@ def image_quality_gates(images: DataFrame) -> DataFrame:
                     not flat and ent >= MIN_ENTROPY_BITS and sharp))
             yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes").mapInPandas(
-        run, schema=QUALITY_GATES_DDL
+    return images.select("image_id", "bytes", *keep_cols).mapInPandas(
+        run, schema=out_schema
     )
