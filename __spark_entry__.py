@@ -6043,6 +6043,219 @@ def c4_filters(spark, sf_dir):
     return c4_clean(d.select("doc_id", page.alias("text")))
 
 
+# ------------------------------------------------- round-4 final batch
+# (warc_pack / ip_politeness / frontier_gc / trustrank / token_dist_shift)
+
+# WARC segment packing (analytics/packing.py:warc_pack): the Common-Crawl
+# landing layout — per-shard numbered segment files with byte offsets, via
+# ONE window exchange (running-max boundary trick). The oracle deliberately
+# uses the naive second window (min per (shard, seg_idx) partition), so the
+# single-exchange rewrite is exactly what this row verifies. Reference's
+# closest analog: one file per contract (contract_crawler.py:242-248).
+@_q(
+    "warc_pack",
+    """
+    WITH rec AS (
+      SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS url_key,
+             CAST(o_orderkey % 8 AS INT) AS shard,
+             CAST(1000 + o_orderkey % 9000 AS BIGINT) AS n_bytes
+      FROM orders),
+    c AS (SELECT *, COALESCE(SUM(n_bytes) OVER (
+              PARTITION BY shard ORDER BY url_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM rec),
+    s AS (SELECT *, cum_before // 250000 AS seg_idx FROM c)
+    SELECT url_key, shard, n_bytes, CAST(seg_idx AS BIGINT) AS seg_idx,
+           CAST(cum_before - min(cum_before) OVER (PARTITION BY shard, seg_idx)
+                AS BIGINT) AS seg_offset
+    FROM s
+    """,
+)
+def warc_pack_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.packing import warc_pack
+
+    o = _t(spark, sf_dir, "orders")
+    rec = o.select(
+        F.format_string("k%012d", F.col("o_orderkey")).alias("url_key"),
+        (F.col("o_orderkey") % 8).cast("int").alias("shard"),
+        (F.lit(1000) + F.col("o_orderkey") % 9000).cast("long").alias("n_bytes"),
+    )
+    return warc_pack(rec, segment_bytes=250_000)
+
+
+# Per-IP politeness admission (operators/politeness.py:ip_admission): the
+# budget layer below per-domain windows — virtual hosting means politeness
+# is owed to the server. Resolver stub = md5(domain) prefix (prefix_len=1
+# here: 16 crowded ip groups at sf0.01, so slots actually stack); the md5
+# hex is engine-identical in Spark and DuckDB, making the whole admission
+# window oracle-checkable end to end.
+@_q(
+    "ip_politeness",
+    """
+    WITH p AS (
+      SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS url_key,
+             'd' || CAST(o_custkey % 257 AS VARCHAR) AS domain,
+             o_totalprice AS priority
+      FROM orders),
+    i AS (SELECT *, substr(md5(domain), 1, 1) AS ip_group FROM p),
+    r AS (SELECT *, row_number() OVER (PARTITION BY ip_group
+                                       ORDER BY priority DESC, url_key) AS rn
+          FROM i)
+    SELECT url_key, domain, ip_group, priority,
+           CAST((rn - 1) // 4 AS INT) AS fetch_slot
+    FROM r
+    """,
+)
+def ip_politeness_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import ip_admission
+
+    o = _t(spark, sf_dir, "orders")
+    pending = o.select(
+        F.format_string("k%012d", F.col("o_orderkey")).alias("url_key"),
+        F.concat(F.lit("d"), (F.col("o_custkey") % 257).cast("string")).alias(
+            "domain"
+        ),
+        F.col("o_totalprice").alias("priority"),
+    )
+    return ip_admission(pending, budget_per_ip=4, prefix_len=1)
+
+
+# Frontier GC (operators/dedup.py:frontier_gc): compaction pass dropping
+# seen + dead-lettered keys with a per-domain audit (kept / dropped_seen /
+# dropped_dead) in ONE frontier scan — two marking LEFT joins + one hash
+# agg, vs the naive two anti-joins + three counts. Seen wins precedence
+# when a key is in both. Reference analog: addresses.difference(ignored)
+# at startup (contract_crawler.py:466-468), minus the audit.
+@_q(
+    "frontier_gc",
+    """
+    WITH f AS (
+      SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS url_key,
+             'd' || CAST(o_custkey % 97 AS VARCHAR) AS domain
+      FROM orders),
+    seen AS (SELECT DISTINCT 'k' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS url_key
+             FROM lineitem WHERE l_orderkey % 5 < 2),
+    dead AS (SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS url_key
+             FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT f.domain,
+           CAST(sum(CASE WHEN s.url_key IS NULL AND d.url_key IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN s.url_key IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dropped_seen,
+           CAST(sum(CASE WHEN s.url_key IS NULL AND d.url_key IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dropped_dead
+    FROM f
+    LEFT JOIN seen s ON f.url_key = s.url_key
+    LEFT JOIN dead d ON f.url_key = d.url_key
+    GROUP BY f.domain
+    """,
+)
+def frontier_gc_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.dedup import frontier_gc
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.format_string("k%012d", F.col("o_orderkey"))
+    frontier = o.select(
+        key.alias("url_key"),
+        F.concat(F.lit("d"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "domain"
+        ),
+    )
+    seen = li.filter("l_orderkey % 5 < 2").select(
+        F.format_string("k%012d", F.col("l_orderkey")).alias("url_key")
+    )
+    dead = o.filter("o_orderkey % 7 = 0").select(key.alias("url_key"))
+    return frontier_gc(frontier, seen, dead)
+
+
+# TrustRank (analytics/graph.py:trustrank): seed-biased PageRank — teleport
+# restricted to a trusted set (here ids % 17 = 0), the anti-spam priority
+# signal. Same chained-CTE oracle pattern as pagerank_priority: three
+# closed-form iterations DuckDB re-derives independently.
+_TR_STEP_SQL = """
+    r{k} AS (
+      SELECT nodes.id, 0.15 * nodes.t + 0.85 * COALESCE(c.contrib, 0.0) AS tr
+      FROM nodes
+      LEFT JOIN (SELECT w.dst AS id, SUM(r{j}.tr * w.w) AS contrib
+                 FROM w JOIN r{j} ON w.src = r{j}.id GROUP BY w.dst) c
+        ON nodes.id = c.id
+    )"""
+
+
+@_q(
+    "trustrank_scores",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    n0 AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    tc AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM n0 WHERE id % 17 = 0),
+    nodes AS (SELECT id, CASE WHEN id % 17 = 0 THEN 1.0/tc.nt ELSE 0.0 END AS t
+              FROM n0 CROSS JOIN tc),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    w AS (SELECT e.src, e.dst, 1.0/d.outdeg AS w FROM edges e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT id, t AS tr FROM nodes),
+    {{0}},
+    {{1}},
+    {{2}}
+    SELECT id, tr FROM r3
+    """.format(
+        _TR_STEP_SQL.format(k=1, j=0),
+        _TR_STEP_SQL.format(k=2, j=1),
+        _TR_STEP_SQL.format(k=3, j=2),
+    ),
+)
+def trustrank_scores(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import trustrank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    trusted = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter("id % 17 = 0")
+    )
+    return trustrank(edges, trusted, iters=3)
+
+
+# Token-distribution shift (analytics/text.py:token_dist_shift): per-source
+# unigram KL divergence vs the corpus — the register/spam drift signal a
+# curator reads before fixing sampling weights. kl rounded to 6 decimals in
+# BOTH engines so float-summation order cannot flip the hash.
+@_q(
+    "token_dist_shift",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest({_SQL_WORDS}) AS tok FROM documents),
+    t2 AS (SELECT grp, tok FROM toks WHERE tok <> ''),
+    gt AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c FROM t2 GROUP BY grp, tok),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM gt GROUP BY tok),
+    ct AS (SELECT CAST(SUM(c) AS DOUBLE) AS ct FROM gt),
+    g AS (SELECT gt.grp, gt.tok, gt.c,
+                 SUM(gt.c) OVER (PARTITION BY gt.grp) AS gtot, corpus.cc
+          FROM gt JOIN corpus ON gt.tok = corpus.tok)
+    SELECT g.grp AS source, CAST(max(g.gtot) AS BIGINT) AS n_tokens,
+           round(SUM((g.c / CAST(g.gtot AS DOUBLE))
+                     * ln((g.c / CAST(g.gtot AS DOUBLE)) / (g.cc / ct.ct))),
+                 6) AS kl_nats
+    FROM g CROSS JOIN ct
+    GROUP BY g.grp
+    """,
+)
+def token_dist_shift_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import token_dist_shift
+
+    d = _t(spark, sf_dir, "documents")
+    return token_dist_shift(d.select("source", "text"))
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6051,6 +6264,8 @@ def c4_filters(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "warc_pack", "ip_politeness", "frontier_gc", "trustrank_scores",
+    "token_dist_shift",
     "image_blur_gate", "hashed_quality_score", "mime_sniff",
     "robots_wildcard_filter", "img_alt_srcset", "image_curation",
     "caption_filter",

@@ -71,6 +71,11 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "warc_pack",
+    "ip_politeness",
+    "frontier_gc",
+    "trustrank_scores",
+    "token_dist_shift",
     "sitemap_ingest",
     "frontier_refill",
     "source_overlap",

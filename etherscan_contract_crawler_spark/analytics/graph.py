@@ -250,3 +250,84 @@ def host_fanin(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> 
             F.round(F.log(F.lit(1.0) + F.col("fanin")), 6).alias("prior"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration TrustRank over ``edges(src, dst)`` + ``trusted(id)``.
+
+    PageRank with the teleport vector restricted to a vetted seed set
+    (Gyongyi et al., VLDB 2004): ``tr = (1-d)*t + d*sum_in(tr/outdeg)``
+    where ``t(id) = 1/|T|`` for trusted ids, else 0. Trust flows OUT from
+    curated seeds, so spam farms that bootstrap rank from their own link
+    mass score near zero — this is the frontier-priority signal a crawler
+    uses to spend budget on reputable hosts first, complementing raw
+    PageRank (pagerank() above) which a link farm can inflate. Init is
+    ``r0 = t`` (mass starts on the seeds), matching the paper and making
+    each iteration's result closed-form for the DuckDB oracle.
+
+    Scale notes: identical dataflow to pagerank — the edge list (the
+    100-TB side) is weighted and repartitioned by src ONCE; each
+    iteration shuffles only the node-sized rank vector. The trusted set
+    is tiny (hand-vetted), so the ``t`` column is built with one
+    broadcast left join onto the persisted node list; no per-iteration
+    cost. Dangling mass is dropped, as in pagerank (deterministic,
+    oracle-chainable).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    t_small = trusted.select(F.col("id").alias("_tid")).distinct()
+    n_trusted = t_small.count()
+    if n_trusted == 0:
+        return nodes.withColumn("tr", F.lit(0.0))
+    nodes = (
+        nodes.join(F.broadcast(t_small), nodes["id"] == F.col("_tid"), "left")
+        .select(
+            "id",
+            F.when(F.col("_tid").isNotNull(), F.lit(1.0 / n_trusted))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .persist()
+    )
+    nodes.count()
+
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    weighted = (
+        edges.join(outdeg, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    weighted.count()
+
+    ranks = nodes.select("id", F.col("t").alias("tr"))
+    for _ in range(iters):
+        contrib = (
+            weighted.join(ranks, on=weighted["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("tr") * F.col("w")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, on=nodes["id"] == contrib["dst"], how="left"
+        ).select(
+            "id",
+            (
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("tr"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    weighted.unpersist()
+    nodes.unpersist()
+    return ranks

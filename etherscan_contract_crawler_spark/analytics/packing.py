@@ -112,3 +112,76 @@ def shard_assign(
             .alias("shard"),
         )
     )
+
+
+def warc_pack(
+    records: DataFrame,
+    segment_bytes: int = 1 << 30,
+    key_col: str = "url_key",
+    bytes_col: str = "n_bytes",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each landed record its WARC segment file and byte offset.
+
+    Common-Crawl-style layout: a crawl epoch's landing is published as
+    numbered WARC segment files of ~``segment_bytes`` each, per output
+    shard. A record belongs to segment ``floor(cum_before / segment_bytes)``
+    where ``cum_before`` is the total bytes of records ahead of it in the
+    shard's deterministic order — the greedy writer rule "close the file
+    once it reaches the target size": records never split, a segment may
+    overrun by at most one record. The reference's closest analog is one
+    file per contract (contract_crawler.py:242-248) — no segment packing
+    exists there; this is the layout a 100-TB landing actually ships.
+
+    Returns ``(url_key, shard, n_bytes, seg_idx, seg_offset)`` — enough for
+    a reader to seek any record: ``open(f"{shard}-{seg_idx}.warc");
+    seek(seg_offset)``.
+
+    Scale design — ONE exchange (hash on shard): the naive seg_offset is
+    ``cum_before - min(cum_before) OVER (shard, seg_idx)``, a second window
+    over a DIFFERENT partitioning that Catalyst plans as a second
+    Exchange+Sort. Because seg_idx is monotone in the within-shard order,
+    the segment's base offset is equally a running max — over the SAME
+    shard window — of cum_before sampled at segment-boundary rows, so all
+    three window expressions share one partitioning: the physical plan is
+    a single Exchange(shard) + Sort + chained Window operators. The DuckDB
+    oracle intentionally uses the naive two-window formulation, so the
+    rewrite itself is what the correctness row checks.
+    """
+    w = Window.partitionBy(shard_col).orderBy(key_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nb = F.col(bytes_col).cast("long")
+    df = (
+        records.select(
+            F.col(key_col).alias("url_key"),
+            F.col(shard_col).alias("shard"),
+            nb.alias("n_bytes"),
+        )
+        .withColumn(
+            "_cum_before", F.coalesce(F.sum("n_bytes").over(w_cum), F.lit(0))
+        )
+        .withColumn(
+            "seg_idx",
+            F.floor(F.col("_cum_before") / F.lit(int(segment_bytes))).cast(
+                "long"
+            ),
+        )
+    )
+    # cum_before at segment-boundary rows only (first row is a boundary:
+    # lag default -1 never equals a real seg_idx), propagated forward as a
+    # running max — monotonicity of both seg_idx and _cum_before makes this
+    # exactly min(_cum_before) per (shard, seg_idx) without re-partitioning.
+    boundary = F.when(
+        F.col("seg_idx") != F.lag("seg_idx", 1, -1).over(w),
+        F.col("_cum_before"),
+    )
+    return df.select(
+        "url_key",
+        "shard",
+        "n_bytes",
+        "seg_idx",
+        (F.col("_cum_before") - F.max(boundary).over(w_run))
+        .cast("long")
+        .alias("seg_offset"),
+    )

@@ -746,3 +746,61 @@ def caption_quality(
         is_filename.alias("is_filename"),
         keep.alias("keep"),
     )
+
+
+def token_dist_shift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution shift vs the whole corpus (KL divergence).
+
+    A domain/source whose unigram distribution diverges hard from the
+    corpus is either a different register (code, logs, boilerplate farms)
+    or machine-generated spam — both are exactly what a training-data
+    curator wants surfaced before sampling weights are chosen. Computes
+    ``KL(P_group || P_corpus) = Σ_w p(w)·ln(p(w)/q(w))`` over whitespace
+    words (normalized_words — the engine-wide F4 rule), which is finite by
+    construction: every group token is a corpus token, so q(w) > 0.
+
+    Returns (group, n_tokens, kl_nats) — kl rounded to 6 decimals in both
+    the engine and the SQL oracle so cross-engine float-summation order
+    cannot flip the comparison.
+
+    Scale notes: one explode → ONE shuffle on token for the (group, token)
+    counts (map-side combinable); the corpus-wide q(w) table is derived
+    from the SAME (group, token) aggregate by a second, smaller agg —
+    tokens only, no second pass over the corpus — then joined back on
+    token (both sides carry the token-hash partitioning, AQE reuses the
+    exchange). Group totals are a window over the grouped counts, not the
+    raw tokens. Nothing touches the documents twice.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(normalized_words(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    gt = toks.groupBy("grp", "tok").agg(F.count("*").alias("c")).persist()
+    corpus = gt.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").cast("double").alias("ct"))
+    w_grp = Window.partitionBy("grp")
+    joined = (
+        gt.withColumn("gtot", F.sum("c").over(w_grp))
+        .join(corpus, on="tok")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = F.col("c") / F.col("gtot")
+    q = F.col("cc") / F.col("ct")
+    out = (
+        joined.groupBy("grp")
+        .agg(
+            F.max("gtot").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "kl_nats")
+        # group-cardinality result: materialize it eagerly so the shared
+        # (grp, tok) aggregate can be released before return (pagerank's
+        # persist/localCheckpoint/unpersist pattern)
+        .localCheckpoint(eager=True)
+    )
+    gt.unpersist()
+    return out

@@ -119,3 +119,60 @@ def url_alias_groups(
         )
         .filter(F.col("n_aliases") > 1)
     )
+
+
+def frontier_gc(
+    frontier: DataFrame,
+    seen: DataFrame,
+    dead: DataFrame,
+    key_col: str = "url_key",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Frontier garbage collection with a per-domain retention report.
+
+    A long crawl's frontier accretes URLs that will never be fetched
+    again: keys the seen set already covers (re-discovered by expansion)
+    and keys the dead-letter table retired (attempts exhausted,
+    engine/crawl.py's dead-letter path). Compacting them out keeps the
+    per-epoch schedule scan proportional to LIVE work — at a 10^10-URL
+    frontier the dropped fraction is most of the table. The reference's
+    analog is ``addresses.difference(ignored)`` (contract_crawler.py:468)
+    applied once at startup; a persistent frontier needs it as a
+    maintenance pass WITH an audit trail of what was dropped and why.
+
+    Returns one row per domain: (domain, kept, dropped_seen,
+    dropped_dead). Precedence: a key in both tables counts as
+    dropped_seen — the seen set is ground truth that the work happened;
+    dead-letter is advisory. The caller keeps rows via the same joins
+    filtered instead of aggregated (``frontier_gc_keep``).
+
+    Scale notes: ONE pass over the frontier — two LEFT joins marking
+    membership plus one hash agg (map-side combinable, output is
+    domain-cardinality) instead of the naive two anti-joins + three
+    counts = three frontier scans. Both probe sides project to the bare
+    key and dedup first, so the join state is keys-only; at 10^10 scale
+    both joins are sort-merge on the same key, and AQE plans them off
+    one exchange of the frontier.
+    """
+    key = F.col(key_col)
+    s = (
+        seen.select(F.col(key_col).alias("_sk"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    d = (
+        dead.select(F.col(key_col).alias("_dk"))
+        .distinct()
+        .withColumn("_dead", F.lit(1))
+    )
+    j = frontier.join(s, key == F.col("_sk"), "left").join(
+        d, key == F.col("_dk"), "left"
+    )
+    live = F.col("_seen").isNull() & F.col("_dead").isNull()
+    return j.groupBy(domain_col).agg(
+        F.sum(live.cast("long")).alias("kept"),
+        F.sum(F.col("_seen").isNotNull().cast("long")).alias("dropped_seen"),
+        F.sum(
+            (F.col("_seen").isNull() & F.col("_dead").isNotNull()).cast("long")
+        ).alias("dropped_dead"),
+    )

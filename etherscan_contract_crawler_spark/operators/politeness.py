@@ -394,3 +394,56 @@ def global_topk(
     out.count()
     df.unpersist()
     return out
+
+
+def ip_admission(
+    pending: DataFrame,
+    budget_per_ip: int = 4,
+    prefix_len: int = 6,
+    domain_col: str = "domain",
+    key_col: str = "url_key",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Per-IP politeness admission — the layer below per-domain budgets.
+
+    Real politeness is owed to the SERVER, not the hostname: virtual
+    hosting maps thousands of registrable domains to one address (and one
+    origin rate limit), so a domain-keyed budget alone can hammer a shared
+    host with domains × budget concurrent fetches. The reference has no
+    politeness at all (its @limits decorator is dead code,
+    contract_crawler.py:372-375); a web-scale crawler runs BOTH windows.
+
+    Domains are bucketed by a deterministic resolver stub — the first
+    ``prefix_len`` hex chars of md5(domain) stand in for the resolved
+    /24. In production the bucket id is just a join key: swap the md5
+    expression for a broadcast join against a DNS dim table (domain →
+    ip24) refreshed per epoch; the admission window below is unchanged.
+
+    Output: one row per candidate with its ``fetch_slot`` within the IP
+    group — slot s fetches no earlier than ``epoch_start + s * period``,
+    exactly like the per-domain scheduler (schedule_epoch), so the two
+    windows compose by taking the max of the two slots.
+
+    Scale notes: ONE exchange, on ip_group — same shape as the domain
+    admission window, and the md5 bucketing is itself the skew guard
+    (a hot registrable domain's subdomains scatter over buckets; a hot
+    shared host is genuinely one server's queue, which is the semantics).
+    row_number + the literal slot arithmetic stay whole-stage codegen.
+    """
+    ip = F.substring(F.md5(F.col(domain_col)), 1, prefix_len)
+    w = Window.partitionBy("ip_group").orderBy(
+        F.col(priority_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        pending.withColumn("ip_group", ip)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            key_col,
+            domain_col,
+            "ip_group",
+            priority_col,
+            F.expr(f"CAST((rn - 1) DIV {int(budget_per_ip)} AS INT)").alias(
+                "fetch_slot"
+            ),
+        )
+    )
