@@ -6256,6 +6256,174 @@ def token_dist_shift_q(spark, sf_dir):
     return token_dist_shift(d.select("source", "text"))
 
 
+# Depth-decayed per-domain admission (operators/politeness.py:depth_budget):
+# BFS-shaped frontier spending — budget halves per path level
+# (greatest(base >> depth, 1)), so deep pagination tails can't starve a
+# domain's shallow, high-value pages. One exchange on (domain, depth).
+@_q(
+    "depth_budget",
+    """
+    WITH p AS (
+      SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS url_key,
+             'd' || CAST(o_custkey % 61 AS VARCHAR) AS domain,
+             repeat('/s', CAST(o_orderkey % 6 AS INT)) AS path,
+             o_totalprice AS priority
+      FROM orders),
+    d AS (SELECT *, CAST(len(list_filter(string_split(path, '/'),
+                                          x -> x <> '')) AS INT) AS depth
+          FROM p),
+    r AS (SELECT *, row_number() OVER (PARTITION BY domain, depth
+                                       ORDER BY priority DESC, url_key) AS rn
+          FROM d)
+    SELECT url_key, domain, depth, priority, CAST(rn AS INT) AS rn,
+           rn <= greatest(16 >> depth, 1) AS admitted
+    FROM r
+    """,
+)
+def depth_budget_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import depth_budget
+
+    o = _t(spark, sf_dir, "orders")
+    pending = o.select(
+        F.format_string("k%012d", F.col("o_orderkey")).alias("url_key"),
+        F.concat(F.lit("d"), (F.col("o_custkey") % 61).cast("string")).alias(
+            "domain"
+        ),
+        F.repeat(F.lit("/s"), (F.col("o_orderkey") % 6).cast("int")).alias(
+            "path"
+        ),
+        F.col("o_totalprice").alias("priority"),
+    )
+    return depth_budget(pending, base_budget=16)
+
+
+# Mixture planning (analytics/sampling.py:mixture_plan): target shares →
+# per-source sampling rate / repeat factor — the DoReMi/Pile bookkeeping
+# between "30% web, 20% code" and an actual sampler. Weights are exact
+# binary fractions (k/64) so floor(want) has no float boundary; broadcast
+# dim join, zero shuffles past the upstream token counts.
+@_q(
+    "mixture_plan",
+    """
+    WITH st AS (
+      SELECT source, CAST(SUM(n_chars // 4 + 1) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tgt(source, target_share) AS (VALUES
+      ('src0', CAST(1 AS DOUBLE)/64), ('src1', CAST(2 AS DOUBLE)/64),
+      ('src2', CAST(3 AS DOUBLE)/64), ('src3', CAST(4 AS DOUBLE)/64),
+      ('src4', CAST(5 AS DOUBLE)/64), ('src5', CAST(6 AS DOUBLE)/64),
+      ('src6', CAST(7 AS DOUBLE)/64), ('src7', CAST(8 AS DOUBLE)/64)),
+    j AS (
+      SELECT st.source, st.n_tokens, tgt.target_share,
+             CAST(floor(tgt.target_share * 2000000) AS BIGINT) AS want_tokens
+      FROM st JOIN tgt ON st.source = tgt.source)
+    SELECT source, n_tokens, target_share, want_tokens,
+           round(least(1.0, want_tokens / CAST(greatest(n_tokens, 1) AS DOUBLE)), 6)
+             AS sample_rate,
+           CAST(CASE WHEN want_tokens <= n_tokens THEN 1
+                     ELSE (want_tokens + greatest(n_tokens, 1) - 1)
+                          // greatest(n_tokens, 1) END AS BIGINT)
+             AS repeat_factor
+    FROM j
+    """,
+)
+def mixture_plan_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.expr("n_chars DIV 4 + 1")).cast("long").alias("n_tokens")
+    )
+    targets = spark.createDataFrame(
+        [(f"src{i}", (i + 1) / 64.0) for i in range(8)],
+        ["source", "target_share"],
+    )
+    return mixture_plan(st, targets, token_budget=2_000_000)
+
+
+# PMI collocations (analytics/text.py:pmi_collocations): top-k bigram
+# multi-word units by pointwise mutual information — tokenizer/phrase
+# vocabulary mining. Corpus parsed once (persisted split feeds unigram AND
+# bigram aggs); totals re-aggregate the count tables; top-k is TakeOrdered.
+@_q(
+    "pmi_collocations",
+    f"""
+    WITH w0 AS (SELECT {_SQL_WORDS} AS ws FROM documents),
+    words AS (SELECT unnest(list_filter(ws, x -> x <> '')) AS w FROM w0),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM words GROUP BY w),
+    nu AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM w0),
+    bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cp FROM grams GROUP BY gram),
+    nb AS (SELECT CAST(SUM(cp) AS DOUBLE) AS n FROM bi),
+    kept AS (SELECT gram, cp, string_split(gram, ' ')[1] AS w1,
+                    string_split(gram, ' ')[2] AS w2
+             FROM bi WHERE cp >= 5)
+    SELECT k.gram, k.w1, k.w2, k.cp AS n_pair,
+           round(ln((k.cp / nb.n) / ((u1.cu / nu.n) * (u2.cu / nu.n))), 6) AS pmi
+    FROM kept k
+    JOIN uni u1 ON k.w1 = u1.w
+    JOIN uni u2 ON k.w2 = u2.w
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY pmi DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def pmi_collocations_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d.select("text"), min_count=5, top_k=50)
+
+
+# Continuous recrawl-interval estimation (operators/recrawl.py:
+# recrawl_interval_estimate): expected time between observed changes per
+# URL (span DIV max(changes,1)) — the quantitative companion of the
+# ordinal recrawl_lanes. Integer end to end; one exchange on url_key.
+@_q(
+    "recrawl_interval",
+    """
+    WITH cap AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url_key,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_type AS fp
+      FROM events),
+    lagged AS (
+      SELECT url_key, ts_s, fp,
+             CASE WHEN fp <> lag(fp) OVER (PARTITION BY url_key
+                                           ORDER BY ts_s, fp)
+                  THEN 1 ELSE 0 END AS chg,
+             lag(fp) OVER (PARTITION BY url_key ORDER BY ts_s, fp) IS NULL
+               AS first_row
+      FROM cap),
+    per AS (
+      SELECT url_key, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN first_row THEN 0 ELSE chg END) AS BIGINT)
+               AS n_changes,
+             min(ts_s) AS t0, max(ts_s) AS t1
+      FROM lagged GROUP BY url_key)
+    SELECT url_key, n_obs, n_changes,
+           CAST((t1 - t0) // (n_obs - 1) AS BIGINT) AS avg_gap_s,
+           CAST((t1 - t0) // greatest(n_changes, 1) AS BIGINT) AS recrawl_s
+    FROM per WHERE n_obs > 1
+    """,
+)
+def recrawl_interval_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.recrawl import (
+        recrawl_interval_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    caps = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url_key"),
+        F.col("ts"),
+        F.col("event_type").alias("fingerprint"),
+    )
+    return recrawl_interval_estimate(caps, ts_col="ts")
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6264,6 +6432,7 @@ def token_dist_shift_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "depth_budget", "mixture_plan", "pmi_collocations", "recrawl_interval",
     "warc_pack", "ip_politeness", "frontier_gc", "trustrank_scores",
     "token_dist_shift",
     "image_blur_gate", "hashed_quality_score", "mime_sniff",

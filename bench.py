@@ -71,6 +71,10 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "depth_budget",
+    "mixture_plan",
+    "pmi_collocations",
+    "recrawl_interval",
     "warc_pack",
     "ip_politeness",
     "frontier_gc",

@@ -180,3 +180,61 @@ def kcenter_sample(
         cur = cur.localCheckpoint()
     spark = embeddings.sparkSession
     return spark.createDataFrame(picks, f"{id_col} long, pick int, dist double")
+
+
+def mixture_plan(
+    source_tokens: DataFrame,
+    targets: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "target_share",
+) -> DataFrame:
+    """Turn target mixture weights into per-source sampling rates/repeats.
+
+    The bookkeeping between "we want 30% web / 20% code / ..." and an
+    actual sampler (the DoReMi/Pile-style mixture table): each source owes
+    ``want = floor(target_share * token_budget)`` tokens. A source with
+    more than that samples DOWN (``sample_rate < 1``, repeat 1); a source
+    with less repeats — ``repeat_factor = ceil(want / have)`` epochs with
+    the last epoch partial. Emits both knobs plus the realized token count
+    so the caller can audit |realized - want| before committing a run.
+
+    Integer-exact except sample_rate (rounded to 6 dp, shared with the
+    oracle). Returns (source, n_tokens, target_share, want_tokens,
+    sample_rate, repeat_factor).
+
+    Scale notes: per-source cardinality input (comes out of token_budget's
+    or quality_score's aggregates) joined to a hand-sized targets dim —
+    broadcast join, zero shuffles, pure codegen arithmetic. The heavy
+    lifting (counting tokens) already happened upstream.
+    """
+    j = source_tokens.join(F.broadcast(targets), on=source_col, how="inner").select(
+        source_col,
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(weight_col).cast("double").alias("target_share"),
+        F.floor(F.col(weight_col) * F.lit(int(token_budget)))
+        .cast("long")
+        .alias("want_tokens"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("want_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+        ),
+        6,
+    )
+    # integer ceil — (a + b - 1) DIV b — no float boundary for the oracle
+    repeat = F.when(
+        F.col("want_tokens") <= F.col("n_tokens"), F.lit(1)
+    ).otherwise(
+        F.expr("(want_tokens + greatest(n_tokens, 1) - 1) DIV greatest(n_tokens, 1)")
+    )
+    return j.select(
+        source_col,
+        "n_tokens",
+        "target_share",
+        "want_tokens",
+        rate.alias("sample_rate"),
+        repeat.cast("long").alias("repeat_factor"),
+    )

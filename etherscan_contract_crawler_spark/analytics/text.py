@@ -804,3 +804,82 @@ def token_dist_shift(
     )
     gt.unpersist()
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k PMI-ranked bigram collocations over the corpus.
+
+    The vocabulary-mining primitive (Church & Hanks 1990): pointwise
+    mutual information ``ln(p(ab) / (p(a)*p(b)))`` over word bigrams finds
+    the multi-word units ("new york", "machine learning") a tokenizer or
+    phrase-aware dedup wants as single symbols. ``min_count`` drops the
+    hapax bigrams whose PMI is pure noise; ranking is (pmi DESC, gram ASC)
+    with pmi rounded to 6 dp in BOTH engines so the k-th boundary can't
+    flip on float-summation order.
+
+    Returns (gram, w1, w2, n_pair, pmi) — at most ``top_k`` rows.
+
+    Scale notes: the corpus is parsed ONCE — the normalized word split is
+    persisted and both the unigram and bigram hash aggs (map-side
+    combinable, the two corpus-sized shuffles) read it; the grand totals
+    re-aggregate the COUNT TABLES (token-cardinality), never the corpus.
+    The unigram table joins the bigram table twice (w1, w2) — sort-merge
+    at scale. The final top-k is a TakeOrdered (per-partition top-k, then
+    a k-sized driver merge), never a global sort; the k-row result is
+    eagerly checkpointed so the persisted split releases before return.
+    """
+    from .dedup import gram_array
+
+    base = docs.select(normalized_words(text_col).alias("_w")).persist()
+    words = base.select(
+        F.explode(F.filter(F.col("_w"), lambda x: x != F.lit(""))).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count("*").alias("cu")).persist()
+    n_uni = uni.agg(F.sum("cu")).collect()[0][0] or 1
+    bi = (
+        base.select(F.explode(gram_array(2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cp"))
+        .persist()
+    )
+    n_bi = bi.agg(F.sum("cp")).collect()[0][0] or 1
+    kept = (
+        bi.filter(F.col("cp") >= int(min_count))
+        .withColumn("w1", F.split("gram", " ").getItem(0))
+        .withColumn("w2", F.split("gram", " ").getItem(1))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cp") / F.lit(float(n_bi)))
+            / (
+                (F.col("c1") / F.lit(float(n_uni)))
+                * (F.col("c2") / F.lit(float(n_uni)))
+            )
+        ),
+        6,
+    )
+    out = (
+        kept.join(u1, on="w1")
+        .join(u2, on="w2")
+        .select(
+            "gram",
+            "w1",
+            "w2",
+            F.col("cp").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("gram"))
+        .limit(int(top_k))
+        .localCheckpoint(eager=True)
+    )
+    bi.unpersist()
+    uni.unpersist()
+    base.unpersist()
+    return out

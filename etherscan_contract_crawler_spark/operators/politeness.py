@@ -447,3 +447,53 @@ def ip_admission(
             ),
         )
     )
+
+
+def depth_budget(
+    pending: DataFrame,
+    base_budget: int = 16,
+    domain_col: str = "domain",
+    path_col: str = "path",
+    key_col: str = "url_key",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Depth-decayed per-domain admission — BFS-shaped frontier spending.
+
+    Classic crawler policy (Najork & Wiener, WWW 2001: breadth-first order
+    finds high-quality pages first): budget per (domain, depth) halves each
+    path level — ``max(base_budget >> depth, 1)`` — so a domain's allotment
+    goes to its shallow, high-value pages and deep calendar/pagination
+    tails can't starve the rest. Depth = count of non-empty path segments,
+    computed from the canonicalized path. Complements the time-slot window
+    (schedule_epoch orders WHEN; this caps HOW MANY per depth).
+
+    Returns every candidate with (depth, rn, admitted) — callers filter
+    ``admitted`` for the scheduled set and keep the rest for audit.
+
+    Scale notes: one exchange, on (domain, depth) — finer than the domain
+    window, so hot domains additionally spread across depth partitions
+    (mild free de-skew). Segment counting is a codegen filter+size over
+    split; the shifted budget is a literal expression, no dim join.
+    """
+    segs = F.filter(
+        F.split(F.col(path_col), "/"), lambda s: s != F.lit("")
+    )
+    depth = F.size(segs)
+    w = Window.partitionBy(domain_col, "depth").orderBy(
+        F.col(priority_col).desc(), F.col(key_col).asc()
+    )
+    budget = F.greatest(
+        F.expr(f"shiftright({int(base_budget)}, depth)"), F.lit(1)
+    )
+    return (
+        pending.withColumn("depth", depth.cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            key_col,
+            domain_col,
+            "depth",
+            priority_col,
+            "rn",
+            (F.col("rn") <= budget).alias("admitted"),
+        )
+    )

@@ -118,3 +118,63 @@ def cdx_revisits(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("payload_seq"),
     )
+
+
+def recrawl_interval_estimate(
+    captures: DataFrame,
+    key_col: str = "url_key",
+    ts_col: str = "ts",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Estimate per-URL change rate from capture history → revisit interval.
+
+    The continuous companion of ``recrawl_lanes`` (above): lanes bucket
+    URLs into ordinal speed classes for the scheduler's cheap path; this
+    emits the quantitative interval — expected time between changes,
+    ``span DIV max(changes, 1)`` — plus the observed cadence
+    (``avg_gap_s``), which the politeness window multiplies directly into
+    ``next_fetch_time`` when per-URL precision is worth the extra column.
+    A page never seen changing gets the full observed span: crawl it no
+    more often than we've watched it.
+
+    Integer end to end: epoch-second timestamps, floor division — the
+    DuckDB oracle reproduces every value bit-exactly, no float tolerance.
+
+    Returns (url_key, n_obs, n_changes, avg_gap_s, recrawl_s); URLs with a
+    single capture are dropped (no interval to learn from).
+
+    Scale notes: ONE exchange on url_key feeds both the lag window and the
+    aggregate (same partitioning — Catalyst plans window + partial agg
+    without a second shuffle). Output is URL-cardinality, n_obs-independent
+    state per key: this runs over a 10^10-capture CDX listing as a single
+    window + agg pass.
+    """
+    base = captures.select(
+        F.col(key_col).alias("url_key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ts"),
+        F.col(fp_col).alias("_fp"),
+    )
+    w = Window.partitionBy("url_key").orderBy("_ts", "_fp")
+    changed = (
+        F.col("_fp") != F.lag("_fp", 1).over(w)
+    ).cast("long")  # first row: lag NULL -> comparison NULL -> cast NULL
+    per = (
+        base.withColumn("_chg", changed)
+        .groupBy("url_key")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.coalesce(F.sum("_chg"), F.lit(0)).alias("n_changes"),
+            F.min("_ts").alias("_t0"),
+            F.max("_ts").alias("_t1"),
+        )
+        .filter(F.col("n_obs") > 1)
+    )
+    return per.select(
+        "url_key",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.expr("(_t1 - _t0) DIV (n_obs - 1)").cast("long").alias("avg_gap_s"),
+        F.expr("(_t1 - _t0) DIV greatest(n_changes, 1)")
+        .cast("long")
+        .alias("recrawl_s"),
+    )
