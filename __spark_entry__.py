@@ -6424,6 +6424,157 @@ def recrawl_interval_q(spark, sf_dir):
     return recrawl_interval_estimate(caps, ts_col="ts")
 
 
+# Bounded BFS hop distance from the seed set (analytics/graph.py:
+# seed_hop_distance): the link-graph "crawl depth" label — pages near
+# vetted seeds crawl first; nodes unreached within max_hops are absent
+# (depth infinity). Same K-round iteration discipline as pagerank; the
+# oracle chains 3 closed-form layer CTEs.
+@_q(
+    "seed_hop_distance",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    d0 AS (SELECT DISTINCT src AS id, 0 AS hops FROM edges WHERE src % 100 = 0),
+    d1 AS (SELECT id, min(hops) AS hops FROM (
+             SELECT id, hops FROM d0
+             UNION ALL
+             SELECT e.dst AS id, d0.hops + 1 AS hops
+             FROM edges e JOIN d0 ON e.src = d0.id) u GROUP BY id),
+    d2 AS (SELECT id, min(hops) AS hops FROM (
+             SELECT id, hops FROM d1
+             UNION ALL
+             SELECT e.dst AS id, d1.hops + 1 AS hops
+             FROM edges e JOIN d1 ON e.src = d1.id) u GROUP BY id),
+    d3 AS (SELECT id, min(hops) AS hops FROM (
+             SELECT id, hops FROM d2
+             UNION ALL
+             SELECT e.dst AS id, d2.hops + 1 AS hops
+             FROM edges e JOIN d2 ON e.src = d2.id) u GROUP BY id)
+    SELECT id, CAST(hops AS INT) AS hops FROM d3
+    """,
+)
+def seed_hop_distance_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import seed_hop_distance
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    seeds = edges.filter("src % 100 = 0").select(F.col("src").alias("id"))
+    return seed_hop_distance(edges, seeds, max_hops=3)
+
+
+# Watermark lateness audit (streaming/lateness.py): replay a captured
+# stream in arrival order and profile per-partition event-time lateness
+# against the running high-water mark — the evidence for choosing a
+# withWatermark delay. One exchange on the partition key; integer seconds
+# end to end; exact nearest-rank p99.
+@_q(
+    "late_data_audit",
+    """
+    WITH e AS (
+      SELECT CAST(user_id % 16 AS INT) AS part,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+      FROM events),
+    l AS (
+      SELECT part,
+             max(ts_s) OVER (PARTITION BY part ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ts_s AS late_s
+      FROM e),
+    r AS (
+      SELECT part, late_s,
+             row_number() OVER (PARTITION BY part ORDER BY late_s) AS rn,
+             count(*) OVER (PARTITION BY part) AS n
+      FROM l)
+    SELECT part, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                         THEN late_s END) AS BIGINT) AS p99_late_s
+    FROM r GROUP BY part
+    """,
+)
+def late_data_audit_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.streaming.lateness import (
+        watermark_lateness_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stream = ev.select(
+        (F.col("user_id") % 16).cast("int").alias("part"),
+        F.col("ts"),
+        F.col("event_id").alias("arrival_id"),
+    )
+    return watermark_lateness_audit(stream, watermark_s=3600)
+
+
+# Watermark/overlay band gate (operators/validate.py:watermark_band_gate):
+# bottom-quintile horizontal-gradient energy vs the body — the LAION-style
+# watermark down-weighting signal, CNN-free and integer-exact. Rows-only
+# (binary codecs aren't SQL); the synth mixes clean textured payloads, a
+# stamped high-contrast bottom band, a flat image with a band (zero body
+# energy branch), and a corrupt payload so every verdict branch fires.
+@_q("image_watermark_gate")
+def image_watermark_gate_q(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etherscan_contract_crawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+    )
+    from etherscan_contract_crawler_spark.operators.validate import (
+        watermark_band_gate,
+    )
+    from etherscan_contract_crawler_spark.sources.synthetic import (
+        payload_for_key,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(
+            F.sha1(F.col("doc_id").cast("string")).alias("key"),
+            (F.col("doc_id") % 4).alias("m"),
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for r in pdf.itertuples(index=False):
+                p = payload_for_key(r.key)
+                ids.append(p["image_id"])
+                if r.m == 0:  # clean textured payload
+                    blobs.append(p["bytes"])
+                elif r.m == 1:  # stamped high-contrast bottom band
+                    px = decode_image(p["bytes"]).copy()
+                    h = px.shape[0]
+                    band = px[h - max(h // 5, 1):]
+                    band[:, ::2] = 0
+                    band[:, 1::2] = 255
+                    blobs.append(encode_png(px))
+                elif r.m == 2:  # flat body + band: zero-body-energy branch
+                    px = np.full((20, 20, 3), 128, dtype=np.uint8)
+                    px[16:, ::2] = 0
+                    px[16:, 1::2] = 255
+                    blobs.append(encode_png(px))
+                else:  # corrupt -> NULL stats, keep=false
+                    blobs.append(p["bytes"][:16])
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    images = keys.mapInPandas(gen, schema="image_id string, bytes binary")
+    return watermark_band_gate(images)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6432,6 +6583,7 @@ def recrawl_interval_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "seed_hop_distance", "late_data_audit", "image_watermark_gate",
     "depth_budget", "mixture_plan", "pmi_collocations", "recrawl_interval",
     "warc_pack", "ip_politeness", "frontier_gc", "trustrank_scores",
     "token_dist_shift",

@@ -71,6 +71,9 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "seed_hop_distance",
+    "late_data_audit",
+    "image_watermark_gate",
     "depth_budget",
     "mixture_plan",
     "pmi_collocations",

@@ -331,3 +331,48 @@ def trustrank(
     weighted.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def seed_hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded BFS: hop distance from the seed set over the link graph.
+
+    The crawl-scheduling counterpart of path depth (depth_budget uses the
+    URL's own path; this uses the LINK graph): pages few hops from vetted
+    seeds are crawled first and deep link-chains are budget-capped — the
+    canonical "crawl depth" frontier label. Unreached nodes within
+    ``max_hops`` are absent from the output (a frontier treats them as
+    depth ∞ / lowest priority).
+
+    Returns (id, hops) — the MINIMUM hop count ≤ max_hops from any seed.
+
+    Scale notes: same iteration discipline as pagerank/trustrank — each of
+    the K (small, fixed) rounds joins the CURRENT layer (node-sized,
+    shrinking) against the edge list pre-partitioned by src ONCE; the
+    min-combine is a map-side-combinable hash agg. lineage truncated per
+    round with an eager localCheckpoint. K is a literal, so a DuckDB
+    oracle chains K closed-form CTEs.
+    """
+    edges = edges.select("src", "dst").distinct()
+    part_edges = edges.repartition("src").persist()
+    part_edges.count()
+
+    dist = seeds.select(F.col("id").cast("long").alias("id")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    for _ in range(max_hops):
+        expanded = (
+            part_edges.join(dist, on=part_edges["src"] == dist["id"])
+            .select(F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    part_edges.unpersist()
+    return dist.select("id", F.col("hops").cast("int").alias("hops"))

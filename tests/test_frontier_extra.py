@@ -130,4 +130,5 @@ def test_query_registry_consistent():
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
     assert no_oracle == {"ann_lsh_topk", "ann_ivf_topk",
                          "images_decode_validate", "image_channel_stats",
-                         "image_blur_gate", "image_curation"}
+                         "image_blur_gate", "image_curation",
+                         "image_watermark_gate"}
