@@ -6575,6 +6575,105 @@ def image_watermark_gate_q(spark, sf_dir):
     return watermark_band_gate(images)
 
 
+# Politeness compliance audit (operators/politeness.py:
+# rate_compliance_audit): prove a recorded fetch log stayed inside the
+# per-domain budget — trailing-window peak + violation count via a RANGE
+# frame over epoch seconds; budget dim broadcast; one exchange on domain.
+@_q(
+    "rate_compliance",
+    """
+    WITH log AS (
+      SELECT 'd' || CAST(user_id % 50 AS VARCHAR) AS domain,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events),
+    bud AS (SELECT 'd' || CAST(i AS VARCHAR) AS domain,
+                   CAST(3 + i % 4 AS BIGINT) AS mx
+            FROM range(50) t(i)),
+    sc AS (
+      SELECT log.domain, bud.mx,
+             count(*) OVER (PARTITION BY log.domain ORDER BY ts_s
+                            RANGE BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS in_win
+      FROM log JOIN bud ON log.domain = bud.domain)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(max(in_win) AS BIGINT) AS peak_in_window,
+           CAST(sum(CASE WHEN in_win > mx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           sum(CASE WHEN in_win > mx THEN 1 ELSE 0 END) = 0 AS compliant
+    FROM sc GROUP BY domain
+    """,
+)
+def rate_compliance_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        rate_compliance_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 50).cast("string")).alias(
+            "domain"
+        ),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    budgets = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("domain"),
+        (F.lit(3) + F.col("id") % 4).cast("long").alias("max_per_window"),
+    )
+    return rate_compliance_audit(log, budgets, window_s=10)
+
+
+# Tracking-parameter mining (functions/urls.py:tracking_param_mine):
+# discover site-specific session params by value dispersion — frequent
+# params whose values are ~always distinct address nothing and feed the
+# canonicalizer's strip list. Two param-cardinality aggs, integer flag.
+@_q(
+    "tracking_param_mine",
+    """
+    WITH u AS (
+      SELECT 'https://ex.com/p/' || CAST(o_custkey AS VARCHAR)
+             || '?page=' || CAST(o_orderkey % 7 AS VARCHAR)
+             || '&sess=' || md5(CAST(o_orderkey AS VARCHAR))
+             || CASE WHEN o_orderkey % 3 = 0 THEN '&ref=home' ELSE '' END
+               AS url
+      FROM orders),
+    q AS (SELECT regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS qs FROM u),
+    pairs AS (
+      SELECT string_split(p, '=')[1] AS param,
+             regexp_extract(p, '^[^=]*=?(.*)$', 1) AS val
+      FROM (SELECT unnest(list_filter(string_split(qs, '&'), x -> x <> ''))
+              AS p FROM q)),
+    pv AS (SELECT param, val, count(*) AS c FROM pairs GROUP BY param, val),
+    agg AS (SELECT param, CAST(SUM(c) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_distinct_vals
+            FROM pv GROUP BY param)
+    SELECT param, n_urls, n_distinct_vals,
+           round(n_distinct_vals / CAST(n_urls AS DOUBLE), 6) AS uniq_ratio,
+           n_urls >= 50 AND 10 * n_distinct_vals >= 9 * n_urls AS candidate
+    FROM agg
+    """,
+)
+def tracking_param_mine_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.urls import (
+        tracking_param_mine,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.concat(
+            F.lit("https://ex.com/p/"),
+            F.col("o_custkey").cast("string"),
+            F.lit("?page="),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit("&sess="),
+            F.md5(F.col("o_orderkey").cast("string")),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("&ref=home")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url")
+    )
+    return tracking_param_mine(urls, min_urls=50)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6583,6 +6682,7 @@ def image_watermark_gate_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "rate_compliance", "tracking_param_mine",
     "seed_hop_distance", "late_data_audit", "image_watermark_gate",
     "depth_budget", "mixture_plan", "pmi_collocations", "recrawl_interval",
     "warc_pack", "ip_politeness", "frontier_gc", "trustrank_scores",

@@ -71,6 +71,8 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "rate_compliance",
+    "tracking_param_mine",
     "seed_hop_distance",
     "late_data_audit",
     "image_watermark_gate",

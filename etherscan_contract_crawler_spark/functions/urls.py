@@ -16,7 +16,7 @@ can push derived filters into scans. No Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Validity filter for the reference's seed keys (contract addresses).
@@ -290,4 +290,56 @@ def blocklist_match(
         host_col,
         F.col("matched").isNotNull().alias("blocked"),
         "matched",
+    )
+
+
+def tracking_param_mine(
+    urls: DataFrame,
+    min_urls: int = 50,
+    url_col: str = "url",
+) -> DataFrame:
+    """Mine candidate tracking/session query parameters from the corpus.
+
+    ``canonicalize_url(drop_tracking=True)`` sheds a STATIC param list
+    (utm_*, gclid, ...); real crawls meet site-specific session params the
+    list has never heard of. The mining signal is dispersion: a parameter
+    that appears on many URLs and whose value is almost always distinct
+    (sessid, token, timestamps) carries no addressing information — each
+    value names the same resource — so it's a canonicalization candidate;
+    a parameter with few distinct values (page, lang, sort) is addressing.
+    Flag rule, integer cross-multiplied (no float boundary):
+    ``n_urls >= min_urls AND 10 * n_distinct_vals >= 9 * n_urls``.
+
+    Returns (param, n_urls, n_distinct_vals, uniq_ratio, candidate) —
+    review output; the accepted set feeds the TRACKING_PARAMS_RE dim.
+
+    Scale notes: explode query params (Generate, no shuffle), then the
+    distinct-count runs as its own hash agg on (param, value) followed by
+    the per-param rollup — two map-side-combinable exchanges over
+    param-cardinality data, never URL-cardinality twice. Ratio rounded to
+    6 dp in both engines.
+    """
+    u = F.col(url_col)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    pairs = urls.select(F.explode(params).alias("p")).select(
+        F.substring_index("p", "=", 1).alias("param"),
+        F.regexp_extract("p", r"^[^=]*=?(.*)$", 1).alias("val"),
+    )
+    per_val = pairs.groupBy("param", "val").agg(F.count("*").alias("c"))
+    agg = per_val.groupBy("param").agg(
+        F.sum("c").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_distinct_vals"),
+    )
+    return agg.select(
+        "param",
+        "n_urls",
+        "n_distinct_vals",
+        F.round(F.col("n_distinct_vals") / F.col("n_urls"), 6).alias(
+            "uniq_ratio"
+        ),
+        (
+            (F.col("n_urls") >= int(min_urls))
+            & (10 * F.col("n_distinct_vals") >= 9 * F.col("n_urls"))
+        ).alias("candidate"),
     )

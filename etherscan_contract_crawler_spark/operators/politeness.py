@@ -497,3 +497,60 @@ def depth_budget(
             (F.col("rn") <= budget).alias("admitted"),
         )
     )
+
+
+def rate_compliance_audit(
+    fetch_log: DataFrame,
+    budgets: DataFrame,
+    window_s: int = 10,
+    domain_col: str = "domain",
+    ts_col: str = "ts_s",
+    max_col: str = "max_per_window",
+) -> DataFrame:
+    """Audit a fetch log against per-domain politeness budgets.
+
+    The closing half of the politeness contract: schedule_epoch PLANS
+    fetches inside budget; this PROVES a recorded log stayed inside it —
+    the compliance check a crawl operator runs per epoch (and the test a
+    CI harness runs against the reference's intended-but-dead 5-calls/1-s
+    limit, contract_crawler.py:372-375). For every fetch, the number of
+    same-domain fetches in the trailing ``window_s`` seconds (RANGE frame
+    over integer epoch seconds) is compared with the domain's budget;
+    one row per domain reports the peak and the violation count.
+
+    Returns (domain, n_fetches, peak_in_window, n_violations, compliant).
+
+    Scale notes: ONE exchange on domain — the RANGE-frame count is a
+    streaming frame within the sorted partition (same machinery as the
+    error-spike alert), the rollup reuses the partitioning map-side, and
+    the budget dim joins broadcast. The frame width is the literal audit
+    granularity; per-domain budgets vary via the dim, so no per-row frame
+    bound is needed (Spark requires foldable frame bounds).
+    """
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("_ts")
+        .rangeBetween(-(int(window_s) - 1), 0)
+    )
+    base = fetch_log.select(
+        F.col(domain_col).alias("domain"), F.col(ts_col).cast("long").alias("_ts")
+    ).join(
+        F.broadcast(
+            budgets.select(
+                F.col(domain_col).alias("domain"),
+                F.col(max_col).cast("long").alias("_max"),
+            )
+        ),
+        on="domain",
+    )
+    scored = base.withColumn("_in_win", F.count("*").over(w))
+    return scored.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.max("_in_win").cast("long").alias("peak_in_window"),
+        F.sum((F.col("_in_win") > F.col("_max")).cast("long")).alias(
+            "n_violations"
+        ),
+        (F.sum((F.col("_in_win") > F.col("_max")).cast("long")) == 0).alias(
+            "compliant"
+        ),
+    )
