@@ -6674,6 +6674,82 @@ def tracking_param_mine_q(spark, sf_dir):
     return tracking_param_mine(urls, min_urls=50)
 
 
+# One BPE merge step (analytics/text.py:bpe_merge_mine): corpus-wide
+# adjacent char-pair counts — counted over the DISTINCT-WORD dictionary
+# weighted by frequency (Heaps' law makes that the whole scaling story);
+# one corpus-sized shuffle, pair explode off the dictionary, TakeOrdered.
+@_q(
+    "bpe_merge_mine",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_WORDS}) AS w FROM documents),
+    words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+              FROM toks WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT freq, unnest(list_transform(
+               range(1, greatest(length(w) - 1, 0) + 1),
+               i -> substr(w, i, 2))) AS pair
+      FROM words),
+    agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pairs GROUP BY pair)
+    SELECT pair, substr(pair, 1, 1) AS "left", substr(pair, 2, 1) AS "right", n
+    FROM agg ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_merge_mine_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import bpe_merge_mine
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_mine(d.select("text"), top_k=20)
+
+
+# Outlink spam-neighborhood ratio (analytics/graph.py:outlink_spam_ratio):
+# hosts linking mostly into the blocklist are farm members the list
+# hasn't caught — negative frontier prior next to trustrank. Broadcast
+# membership probe + one hash agg on src; no edge-sized blocklist shuffle.
+@_q(
+    "outlink_spam_ratio",
+    """
+    WITH e AS (
+      SELECT 'h' || CAST(l_orderkey % 500 AS VARCHAR) AS src_host,
+             'h' || CAST(l_partkey % 500 AS VARCHAR) AS dst_host
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+    bl AS (SELECT 'h' || CAST(i AS VARCHAR) AS host
+           FROM range(500) t(i) WHERE i % 7 = 0),
+    j AS (SELECT e.src_host,
+                 CASE WHEN bl.host IS NOT NULL THEN 1 ELSE 0 END AS is_spam
+          FROM e LEFT JOIN bl ON e.dst_host = bl.host),
+    agg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(SUM(is_spam) AS BIGINT) AS n_spam
+            FROM j GROUP BY src_host)
+    SELECT src_host, n_out, n_spam,
+           round(n_spam / CAST(n_out AS DOUBLE), 6) AS spam_ratio,
+           2 * n_spam >= n_out AS suspect
+    FROM agg
+    """,
+)
+def outlink_spam_ratio_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.graph import (
+        outlink_spam_ratio,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 500).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 500).cast("string")).alias(
+            "dst_host"
+        ),
+    ).filter("src_host <> dst_host")
+    blocklist = (
+        spark.range(500)
+        .filter("id % 7 = 0")
+        .select(F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"))
+    )
+    return outlink_spam_ratio(edges, blocklist)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6682,6 +6758,7 @@ def tracking_param_mine_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "bpe_merge_mine", "outlink_spam_ratio",
     "rate_compliance", "tracking_param_mine",
     "seed_hop_distance", "late_data_audit", "image_watermark_gate",
     "depth_budget", "mixture_plan", "pmi_collocations", "recrawl_interval",

@@ -71,6 +71,8 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "bpe_merge_mine",
+    "outlink_spam_ratio",
     "rate_compliance",
     "tracking_param_mine",
     "seed_hop_distance",

@@ -376,3 +376,44 @@ def seed_hop_distance(
         )
     part_edges.unpersist()
     return dist.select("id", F.col("hops").cast("int").alias("hops"))
+
+
+def outlink_spam_ratio(
+    edges: DataFrame,
+    blocklist: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host spam-neighborhood signal: fraction of outlinks into
+    blocklisted hosts.
+
+    The complement of the inbound blocklist_filter (functions/urls.py):
+    a host not ON the list but LINKING mostly into it is a spam-farm
+    member the list hasn't caught yet (the SpamRank/anti-trust
+    observation — link neighborhoods, not just identities). Feeds the
+    frontier as a negative prior next to trustrank.
+
+    Returns (src_host, n_out, n_spam, spam_ratio, suspect) with
+    spam_ratio rounded to 6 dp and the flag integer cross-multiplied
+    (``2 * n_spam >= n_out`` — half or more), so the oracle is exact.
+
+    Scale notes: the edge list — the 100-TB side — takes ONE hash agg on
+    src after a broadcast membership probe against the blocklist dim
+    (hand-curated, KB-sized); no edge-sized shuffle on a blocklist key,
+    mirroring blocklist_filter's design.
+    """
+    probe = F.broadcast(
+        blocklist.select(F.col("host").alias("_bh")).distinct()
+    )
+    j = edges.join(probe, edges[dst_col] == F.col("_bh"), "left")
+    agg = j.groupBy(src_col).agg(
+        F.count("*").cast("long").alias("n_out"),
+        F.sum(F.col("_bh").isNotNull().cast("long")).alias("n_spam"),
+    )
+    return agg.select(
+        F.col(src_col).alias("src_host"),
+        "n_out",
+        "n_spam",
+        F.round(F.col("n_spam") / F.col("n_out"), 6).alias("spam_ratio"),
+        (2 * F.col("n_spam") >= F.col("n_out")).alias("suspect"),
+    )

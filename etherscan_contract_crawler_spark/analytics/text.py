@@ -883,3 +883,59 @@ def pmi_collocations(
     uni.unpersist()
     base.unpersist()
     return out
+
+
+def bpe_merge_mine(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE merge step over the corpus: the most frequent adjacent
+    character pairs within words (Sennrich et al. 2016, the training loop's
+    inner statistic). A tokenizer trainer runs this repeatedly, merging the
+    winner and recounting; the heavy lift — the corpus-wide pair count —
+    is exactly this operator, so its plan shape is what decides whether
+    vocabulary training is feasible at 100 TB.
+
+    Counts use word FREQUENCIES (count words once, multiply pair counts by
+    word frequency — the standard dictionary trick) so the corpus-sized
+    explode is over DISTINCT words, not running text: at web scale the
+    distinct-word table is orders of magnitude smaller than the token
+    stream (Heaps' law), and that is the entire scaling story here.
+
+    Returns (pair, left, right, n) — the ``top_k`` most frequent adjacent
+    pairs, ties broken by pair text ascending.
+
+    Scale notes: words hash-agg to (word, freq) — the ONE corpus-sized
+    shuffle, map-side combinable; pairs explode off the distinct-word
+    table (Generate over word length); the pair rollup is
+    pair-cardinality. Top-k is TakeOrdered. All integer counts — the
+    oracle hashes bit-exactly.
+    """
+    words = (
+        docs.select(F.explode(normalized_words(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    n_pairs = F.greatest(F.length("w") - 1, F.lit(0))
+    pair_arr = F.when(
+        n_pairs > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pairs),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    pairs = words.select("freq", F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .select(
+            "pair",
+            F.substring("pair", 1, 1).alias("left"),
+            F.substring("pair", 2, 1).alias("right"),
+            "n",
+        )
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(int(top_k))
+    )
