@@ -6750,6 +6750,87 @@ def outlink_spam_ratio_q(spark, sf_dir):
     return outlink_spam_ratio(edges, blocklist)
 
 
+# Shard balance audit (analytics/packing.py:shard_skew_report): the
+# acceptance check for shard_assign — per-shard doc/token load and
+# permille deviation from the mean, integer cross-multiplied ±10% flag.
+# Composes with shard_assign in one chain so alias drift between the two
+# is driver-visible.
+@_q(
+    "shard_skew",
+    """
+    WITH d AS (SELECT doc_id, CAST(n_chars // 4 + 1 AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS band,
+                 CAST(doc_id % 4 AS INT) AS salt
+          FROM d),
+    r AS (SELECT doc_id, n_tokens, band, salt,
+                 row_number() OVER (PARTITION BY band, salt
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM b),
+    a AS (SELECT doc_id, n_tokens,
+                 CAST((rn - 1 + salt) % 8 AS INT) AS shard
+          FROM r),
+    per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM a GROUP BY shard),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS s FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST((1000 * n_tokens * s - 1000 * t) // t AS BIGINT) AS dev_milli,
+           abs(1000 * n_tokens * s - 1000 * t) <= 100 * t AS ok
+    FROM per CROSS JOIN tot
+    """,
+)
+def shard_skew_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.packing import (
+        shard_assign,
+        shard_skew_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", (F.expr("n_chars DIV 4") + 1).alias("n_tokens"))
+    assigned = shard_assign(docs, n_shards=8, band_width=32, n_salts=4)
+    return shard_skew_report(assigned)
+
+
+# Adaptive politeness (operators/politeness.py:adaptive_politeness):
+# error-feedback budgets — next epoch's per-domain budget scales with the
+# observed success rate, floored at one probe; pure codegen projection
+# over the landing stats rollup. The reference's analog is a GLOBAL
+# sleep-on-error (blockchain-multichain-monitor.py:108-116).
+@_q(
+    "adaptive_politeness",
+    """
+    WITH st AS (
+      SELECT 'd' || CAST(o_custkey % 40 AS VARCHAR) AS domain,
+             CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ok,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM orders GROUP BY domain)
+    SELECT domain, n_ok, n_total,
+           CAST(greatest((8 * n_ok) // greatest(n_total, 1), 1) AS BIGINT)
+             AS budget
+    FROM st
+    """,
+)
+def adaptive_politeness_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        adaptive_politeness,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy(
+        F.concat(F.lit("d"), (F.col("o_custkey") % 40).cast("string")).alias(
+            "domain"
+        )
+    ).agg(
+        F.sum((F.col("o_orderstatus") != "F").cast("long")).alias("n_ok"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    return adaptive_politeness(stats, base_budget=8)
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6758,6 +6839,7 @@ def outlink_spam_ratio_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "shard_skew", "adaptive_politeness",
     "bpe_merge_mine", "outlink_spam_ratio",
     "rate_compliance", "tracking_param_mine",
     "seed_hop_distance", "late_data_audit", "image_watermark_gate",

@@ -71,6 +71,8 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "shard_skew",
+    "adaptive_politeness",
     "bpe_merge_mine",
     "outlink_spam_ratio",
     "rate_compliance",

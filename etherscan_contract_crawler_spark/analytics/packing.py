@@ -185,3 +185,44 @@ def warc_pack(
         .cast("long")
         .alias("seg_offset"),
     )
+
+
+def shard_skew_report(
+    assigned: DataFrame,
+    shard_col: str = "shard",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Balance audit for an output sharding: per-shard load vs the mean.
+
+    The acceptance check for shard_assign (and any layout decision): a
+    training reader streams shards whole, so the epoch's wall is the
+    FATTEST shard — this reports each shard's document count, token sum,
+    and permille deviation from the mean token load, plus an ``ok`` flag
+    at ±10% (integer cross-multiplied: ``|1000·t·S − 1000·T| ≤ 100·T``
+    with S shards and T total — exact, no float boundary).
+
+    Returns (shard, n_docs, n_tokens, dev_milli, ok).
+
+    Scale notes: one map-side-combinable hash agg to shard cardinality;
+    the mean rides a broadcast of the single-row total (no window over
+    the corpus). Runs over the full corpus assignment in one pass.
+    """
+    per = assigned.groupBy(shard_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_t"), F.count("*").alias("_s")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    dev = F.expr("(1000 * n_tokens * _s - 1000 * _t) DIV _t")
+    return j.select(
+        F.col(shard_col).alias("shard"),
+        "n_docs",
+        "n_tokens",
+        dev.cast("long").alias("dev_milli"),
+        (
+            F.abs(1000 * F.col("n_tokens") * F.col("_s") - 1000 * F.col("_t"))
+            <= 100 * F.col("_t")
+        ).alias("ok"),
+    )

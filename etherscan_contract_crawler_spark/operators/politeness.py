@@ -554,3 +554,47 @@ def rate_compliance_audit(
             "compliant"
         ),
     )
+
+
+def adaptive_politeness(
+    fetch_stats: DataFrame,
+    base_budget: int = 8,
+    domain_col: str = "domain",
+    ok_col: str = "n_ok",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """Error-feedback politeness: shrink a domain's budget by its failure
+    rate.
+
+    A domain answering 429/5xx is telling the crawler to back off — the
+    adaptive rule every production crawler runs on top of static budgets
+    (and the reference approximates with sleep-on-error,
+    blockchain-multichain-monitor.py:108-116, as a global pause instead
+    of a per-domain rate). Next epoch's budget scales with the observed
+    success rate, floored at one probe so a recovering domain is still
+    sampled: ``budget' = max(1, (base · n_ok) DIV n_total)``. Integer
+    division — deterministic, oracle-exact — and monotone: more failures
+    never raise the budget.
+
+    Returns (domain, n_ok, n_total, budget) — a drop-in budgets dim for
+    with_budget/schedule_epoch next epoch.
+
+    Scale notes: input is the landing stats rollup (domain cardinality,
+    already aggregated by the epoch's stat pass — engine/crawl.py derives
+    it from the landed files' footer scan); this is a pure codegen
+    projection over it. No shuffle, no join.
+    """
+    ok = F.col(ok_col).cast("long")
+    tot = F.col(total_col).cast("long")
+    return fetch_stats.select(
+        F.col(domain_col).alias("domain"),
+        ok.alias("n_ok"),
+        tot.alias("n_total"),
+        F.greatest(
+            F.expr(f"({int(base_budget)} * CAST({ok_col} AS BIGINT)) DIV "
+                   f"greatest(CAST({total_col} AS BIGINT), 1)"),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("budget"),
+    )
