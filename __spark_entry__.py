@@ -6831,6 +6831,99 @@ def adaptive_politeness_q(spark, sf_dir):
     return adaptive_politeness(stats, base_budget=8)
 
 
+# Outlink harvesting (functions/html.py:a_candidates): the discovery
+# primitive — every plain-text <a> yields (href, anchor text, nofollow
+# token flag); hrefs feed canonicalize/url_seen/scheduling, texts feed
+# anchor_text_agg, nofollow feeds the edge filter. Composed pages fire
+# every branch: uppercase/single-quote/rel variants, the 'nofollower'
+# substring trap, href-less named anchors, nested-markup skip.
+@_q(
+    "a_href_extract",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             concat_ws('',
+               '<a href="https://x.com/p', CAST(doc_id AS VARCHAR), '">page ',
+               CAST(doc_id % 5 AS VARCHAR), '</a>',
+               CASE WHEN doc_id % 2 = 0 THEN
+                 concat('<A HREF=''https://up.com/', CAST(doc_id % 7 AS VARCHAR),
+                        ''' REL=''nofollow''>UP</A>') END,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 '<a href="https://f.com/a" rel="external nofollower">trick</a>'
+               END,
+               CASE WHEN doc_id % 5 = 0 THEN '<a name="top">no href</a>' END,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 '<a href="https://n.com/x"><b>nested</b></a>' END,
+               CASE WHEN doc_id % 11 = 0 THEN
+                 '<a href="https://m.com/y" rel="me,nofollow">m</a>' END
+             ) AS body
+      FROM documents),
+    t0 AS (SELECT doc_id,
+                  regexp_extract_all(body, '(?i)<a\\s[^>]*>[^<]*</a>', 0) AS ts
+           FROM pages),
+    s0 AS (SELECT doc_id, list_transform(ts, t -> struct_pack(
+             href := CASE WHEN regexp_extract(t, '(?i)\\shref\\s*=\\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(t, '(?i)\\shref\\s*=\\s*"([^"]*)"', 1)
+                          ELSE regexp_extract(t, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1) END,
+             txt := regexp_extract(t, '(?i)>([^<]*)</a>', 1),
+             nofollow := regexp_matches(
+               CASE WHEN regexp_extract(t, '(?i)\\srel\\s*=\\s*"([^"]*)"', 1) <> ''
+                    THEN regexp_extract(t, '(?i)\\srel\\s*=\\s*"([^"]*)"', 1)
+                    ELSE regexp_extract(t, '(?i)\\srel\\s*=\\s*''([^'']*)''', 1) END,
+               '(?i)(^|[\\s,])nofollow([\\s,]|$)'))) AS cands
+           FROM t0),
+    s1 AS (SELECT doc_id, list_filter(cands, c -> c.href <> '') AS kept FROM s0),
+    fl AS (SELECT doc_id, unnest(kept) AS c,
+                  generate_subscripts(kept, 1) AS a_idx
+           FROM s1)
+    SELECT doc_id, CAST(a_idx AS INT) AS a_idx, c.href AS href,
+           c.txt AS text, c.nofollow AS nofollow
+    FROM fl
+    """,
+)
+def a_href_extract_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import a_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat_ws(
+        "",
+        F.lit('<a href="https://x.com/p'),
+        did.cast("string"),
+        F.lit('">page '),
+        (did % 5).cast("string"),
+        F.lit("</a>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("<A HREF='https://up.com/"),
+                (did % 7).cast("string"),
+                F.lit("' REL='nofollow'>UP</A>"),
+            ),
+        ),
+        F.when(
+            did % 3 == 0,
+            F.lit('<a href="https://f.com/a" rel="external nofollower">trick</a>'),
+        ),
+        F.when(did % 5 == 0, F.lit('<a name="top">no href</a>')),
+        F.when(did % 7 == 0, F.lit('<a href="https://n.com/x"><b>nested</b></a>')),
+        F.when(
+            did % 11 == 0,
+            F.lit('<a href="https://m.com/y" rel="me,nofollow">m</a>'),
+        ),
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return pages.select(
+        "doc_id", F.explode(a_candidates("body")).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.a_idx").alias("a_idx"),
+        F.col("c.href").alias("href"),
+        F.col("c.text").alias("text"),
+        F.col("c.nofollow").alias("nofollow"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6839,6 +6932,7 @@ def adaptive_politeness_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "a_href_extract",
     "shard_skew", "adaptive_politeness",
     "bpe_merge_mine", "outlink_spam_ratio",
     "rate_compliance", "tracking_param_mine",

@@ -71,6 +71,7 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "a_href_extract",
     "shard_skew",
     "adaptive_politeness",
     "bpe_merge_mine",

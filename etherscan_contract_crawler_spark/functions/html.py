@@ -299,3 +299,66 @@ def img_candidates(body: Column | str) -> Column:
         )
 
     return F.flatten(F.transform(tags, per_tag)).cast(_IMG_CAND_T)
+
+
+_A_TAG_RE = r"(?i)<a\s[^>]*>[^<]*</a>"
+_HREF_DQ_RE = r'(?i)\shref\s*=\s*"([^"]*)"'
+_HREF_SQ_RE = r"(?i)\shref\s*=\s*'([^']*)'"
+_REL_DQ_RE = r'(?i)\srel\s*=\s*"([^"]*)"'
+_REL_SQ_RE = r"(?i)\srel\s*=\s*'([^']*)'"
+_A_TEXT_RE = r"(?i)>([^<]*)</a>"
+_NOFOLLOW_TOKEN_RE = r"(?i)(^|[\s,])nofollow([\s,]|$)"
+_A_CAND_T = "array<struct<a_idx:int,href:string,text:string,nofollow:boolean>>"
+
+
+def a_candidates(body: Column | str) -> Column:
+    """Outlink harvesting — the crawl's discovery primitive: every
+    plain-text ``<a>`` element yields (href, anchor text, nofollow flag).
+
+    The fuel for the whole frontier side of this engine: hrefs feed
+    canonicalize_url → url_seen dedup → scheduling; anchor texts feed
+    anchor_text_agg's per-target description signal; ``nofollow``
+    (rel-attr token match per the spec: comma- or space-separated token
+    list, never substring — ``nofollower`` does not count) feeds the link
+    graph's edge filter next to meta_robots' page-level flag. The
+    reference does its equivalent with BeautifulSoup row-at-a-time
+    (contract_crawler.py:142-145); this is the vectorized Column chain.
+
+    Contract (matches this module's regex-flatten rules): plain-text
+    anchors only (``[^<]*`` inner — an anchor wrapping nested markup is
+    skipped, not mis-parsed), quoted or unquoted-free attribute values as
+    quoted only, patterns RE2-safe so the DuckDB oracle runs the same
+    chain. Anchors without an href (named anchors) are dropped.
+
+    Returns ``array<struct<a_idx, href, text, nofollow>>`` (``a_idx``
+    1-based in document order, counting only kept anchors). Pure Column
+    projection — zero shuffles until the caller's explode.
+    """
+    b = F.col(body) if isinstance(body, str) else body
+    tags = F.regexp_extract_all(b, F.lit(_A_TAG_RE), F.lit(0))
+
+    def per_tag(t):
+        href_dq = F.regexp_extract(t, _HREF_DQ_RE, 1)
+        href_sq = F.regexp_extract(t, _HREF_SQ_RE, 1)
+        href = F.when(href_dq != "", href_dq).otherwise(href_sq)
+        rel_dq = F.regexp_extract(t, _REL_DQ_RE, 1)
+        rel_sq = F.regexp_extract(t, _REL_SQ_RE, 1)
+        rel = F.when(rel_dq != "", rel_dq).otherwise(rel_sq)
+        return F.struct(
+            href.alias("href"),
+            F.regexp_extract(t, _A_TEXT_RE, 1).alias("text"),
+            rel.rlike(_NOFOLLOW_TOKEN_RE).alias("nofollow"),
+        )
+
+    kept = F.filter(
+        F.transform(tags, per_tag), lambda c: c["href"] != F.lit("")
+    )
+    return F.transform(
+        kept,
+        lambda c, i: F.struct(
+            (i + 1).cast("int").alias("a_idx"),
+            c["href"].alias("href"),
+            c["text"].alias("text"),
+            c["nofollow"].alias("nofollow"),
+        ),
+    ).cast(_A_CAND_T)
