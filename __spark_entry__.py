@@ -6924,6 +6924,99 @@ def a_href_extract_q(spark, sf_dir):
     )
 
 
+# Discovery refill integration (the crawl-side chain a production epoch
+# runs after landing: a_candidates harvest -> nofollow edge filter ->
+# canonicalize_url(drop_tracking) -> anti-join url_seen -> per-host new
+# candidates). The oracle enumerates the EXPECTED post-chain rows closed
+# form per residue (the component stages carry their own oracles; this
+# row checks the CHAIN — alias/key drift between harvest, canonicalizer,
+# dedup and rollup that per-operator oracles can't see).
+@_q(
+    "discovery_refill",
+    """
+    WITH exp AS (
+      SELECT doc_id, doc_id % 13 AS h,
+             doc_id % 5 >= 2 AS unseen
+      FROM documents)
+    SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
+           CAST(count(*) AS BIGINT) AS n_new
+    FROM exp WHERE unseen
+    GROUP BY host
+    """,
+)
+def discovery_refill_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.functions.html import a_candidates
+    from etherscan_contract_crawler_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = (did % 13).cast("string")
+    ks = did.cast("string")
+    r = did % 4
+    body = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit('<a href="HTTPS://Host'), h,
+                F.lit(".Example.com/p/"), ks, F.lit('#x">t</a>'),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit('<a href="https://host'), h,
+                F.lit(".example.com/p/"), ks, F.lit('">t</a>'),
+                F.lit('<a href="https://spam.com/'), ks,
+                F.lit('" rel="nofollow">s</a>'),
+            ),
+        )
+        .when(
+            r == 2,
+            F.concat(
+                F.lit('<a href="https://host'), h,
+                F.lit(".example.com/q/"), ks,
+                F.lit('?utm_source=a&b=1">t</a>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<a href='https://host"), h,
+                F.lit(".example.com/r/"), ks, F.lit("'>t</a>"),
+            )
+        )
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    harvested = (
+        pages.select(F.explode(a_candidates("body")).alias("c"))
+        .filter(~F.col("c.nofollow"))
+        .select(
+            canonicalize_url(F.col("c.href"), drop_tracking=True).alias(
+                "url_canon"
+            )
+        )
+        .distinct()
+    )
+    # url_seen bootstrap: docs with doc_id % 5 < 2 were already landed —
+    # the same closed-form canonical the chain must reproduce
+    seen_path = (
+        F.when(r == 2, F.concat(F.lit("/q/"), ks, F.lit("?b=1")))
+        .when(r == 3, F.concat(F.lit("/r/"), ks))
+        .otherwise(F.concat(F.lit("/p/"), ks))
+    )
+    seen = d.filter("doc_id % 5 < 2").select(
+        F.concat(
+            F.lit("https://host"), h, F.lit(".example.com"), seen_path
+        ).alias("url_canon")
+    )
+    new = harvested.join(seen, on="url_canon", how="left_anti")
+    return new.groupBy(url_host("url_canon").alias("host")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -6932,7 +7025,7 @@ def a_href_extract_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
-    "a_href_extract",
+    "discovery_refill", "a_href_extract",
     "shard_skew", "adaptive_politeness",
     "bpe_merge_mine", "outlink_spam_ratio",
     "rate_compliance", "tracking_param_mine",

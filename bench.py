@@ -71,6 +71,7 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "discovery_refill",
     "a_href_extract",
     "shard_skew",
     "adaptive_politeness",
