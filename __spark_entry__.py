@@ -7017,6 +7017,153 @@ def discovery_refill_q(spark, sf_dir):
     )
 
 
+# Fetch-status pivot matrix: the epoch ops dashboard — domains × status
+# counts via Spark's pivot (grouped expand, map-side combinable; the
+# status vocabulary is a FIXED literal list, so no extra distinct job
+# runs to discover columns). DuckDB oracle = conditional aggregation.
+@_q(
+    "fetch_status_matrix",
+    """
+    SELECT 'd' || CAST(o_custkey % 30 AS VARCHAR) AS domain,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pending
+    FROM orders GROUP BY domain
+    """,
+)
+def fetch_status_matrix_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        F.concat(F.lit("d"), (F.col("o_custkey") % 30).cast("string")).alias(
+            "domain"
+        ),
+        F.col("o_orderstatus").alias("status"),
+    )
+    p = (
+        log.groupBy("domain")
+        .pivot("status", ["F", "O", "P"])  # fixed vocabulary: no discovery job
+        .count()
+        .na.fill(0)
+    )
+    return p.select(
+        "domain",
+        F.col("F").cast("long").alias("n_failed"),
+        F.col("O").cast("long").alias("n_ok"),
+        F.col("P").cast("long").alias("n_pending"),
+    )
+
+
+# HyperLogLog cardinality gate: approx_count_distinct vs exact, per
+# language — the sketch every 100-TB profiler leans on (exact distinct is
+# a full shuffle; HLL is mergeable per-partition state). Emitted as a
+# recall-gate row (ann_lsh_recall pattern): the oracle re-derives the
+# EXACT side and pins the within-5% flag TRUE — a sketch drifting past
+# its rsd bound fails the row.
+@_q(
+    "hll_count_gate",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_WORDS}) AS w FROM documents),
+    ex AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+           FROM toks WHERE w <> '' GROUP BY lang)
+    SELECT lang, exact_distinct, TRUE AS within_5pct FROM ex
+    """,
+)
+def hll_count_gate_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(normalized_words("text")).alias("w")
+    ).filter("w <> ''")
+    agg = toks.groupBy("lang").agg(
+        F.count_distinct("w").alias("exact_distinct"),
+        F.approx_count_distinct("w", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "lang",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+# Approx-quantile sketch gate: percentile_approx (GK/KLL-family sketch)
+# vs the exact integer quantile — same gate pattern. The exact side
+# (DuckDB re-derivation) uses the nearest-rank definition on BIGINTs so
+# there is no interpolation ambiguity; the sketch must land within 5% of
+# it. Sketches are THE scale path for per-group latency/size profiles —
+# mergeable, single pass, no per-group sort.
+@_q(
+    "quantile_sketch_gate",
+    """
+    WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+    r AS (SELECT lang, x,
+                 row_number() OVER (PARTITION BY lang ORDER BY x) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM v),
+    ex AS (SELECT lang,
+                  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                                THEN x END) AS BIGINT) AS exact_p50,
+                  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                                THEN x END) AS BIGINT) AS exact_p95
+           FROM r GROUP BY lang)
+    SELECT lang, exact_p50, exact_p95, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM ex
+    """,
+)
+def quantile_sketch_gate_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    v = d.select("lang", F.col("n_chars").cast("long").alias("x"))
+    w = Window.partitionBy("lang").orderBy("x")
+    wn = Window.partitionBy("lang")
+    ranked = v.select(
+        "lang",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("CAST(ceil(n * 0.5) AS BIGINT)"),
+                F.col("x"),
+            )
+        ).cast("long").alias("exact_p50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("CAST(ceil(n * 0.95) AS BIGINT)"),
+                F.col("x"),
+            )
+        ).cast("long").alias("exact_p95"),
+    )
+    sk = v.groupBy("lang").agg(
+        F.percentile_approx("x", 0.5, 10_000).alias("_s50"),
+        F.percentile_approx("x", 0.95, 10_000).alias("_s95"),
+    )
+    j = exact.join(sk, on="lang")
+    return j.select(
+        "lang",
+        "exact_p50",
+        "exact_p95",
+        (
+            F.abs(F.col("_s50") - F.col("exact_p50"))
+            <= 0.05 * F.col("exact_p50")
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("_s95") - F.col("exact_p95"))
+            <= 0.05 * F.col("exact_p95")
+        ).alias("p95_ok"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -7025,6 +7172,7 @@ def discovery_refill_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "fetch_status_matrix", "hll_count_gate", "quantile_sketch_gate",
     "discovery_refill", "a_href_extract",
     "shard_skew", "adaptive_politeness",
     "bpe_merge_mine", "outlink_spam_ratio",

@@ -71,6 +71,9 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "fetch_status_matrix",
+    "hll_count_gate",
+    "quantile_sketch_gate",
     "discovery_refill",
     "a_href_extract",
     "shard_skew",

@@ -1,0 +1,56 @@
+"""Round-4 batch 8: pivot matrix + sketch gates — the fixed-vocabulary
+pivot contract and the sketch-vs-exact bounds at adversarial shapes."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def test_fetch_status_matrix_zero_fills_absent_statuses(spark):
+    # a domain with only 'F' rows must report 0 (not NULL) for O/P
+    out = {
+        r["domain"]: (r["n_failed"], r["n_ok"], r["n_pending"])
+        for r in entry.QUERIES["fetch_status_matrix"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert all(all(v is not None for v in t) for t in out.values())
+    totals = [sum(t) for t in out.values()]
+    assert all(n > 0 for n in totals)
+
+
+def test_hll_gate_holds_on_skewed_cardinalities(spark):
+    # tiny group (1 distinct) and wide group (5000 distinct): the rsd=2%
+    # sketch must stay within the 5% gate on both extremes
+    rows = [("small", "only")] + [("big", f"w{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["lang", "w"])
+    agg = df.groupBy("lang").agg(
+        F.count_distinct("w").alias("exact"),
+        F.approx_count_distinct("w", rsd=0.02).alias("approx"),
+    )
+    for r in agg.collect():
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"]
+
+
+def test_quantile_sketch_gate_exact_on_small_groups(spark):
+    # percentile_approx with a 10k accuracy budget is EXACT when the
+    # group fits the sketch — pin that so the 5% gate never hides a
+    # regression at test scale
+    rows = [("l", float(x)) for x in range(1, 101)]
+    df = spark.createDataFrame(rows, ["lang", "x"])
+    got = df.groupBy("lang").agg(
+        F.percentile_approx("x", 0.5, 10_000).alias("p50"),
+        F.percentile_approx("x", 0.95, 10_000).alias("p95"),
+    ).collect()[0]
+    assert got["p50"] == 50.0  # nearest-rank ceil(100*.5)=50
+    assert got["p95"] == 95.0
+
+
+def test_gate_rows_all_true_at_sf0001(spark):
+    for q in ("hll_count_gate", "quantile_sketch_gate"):
+        rows = entry.QUERIES[q](spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            flags = [v for k, v in r.asDict().items()
+                     if k.endswith("_ok") or k.startswith("within")]
+            assert all(flags), (q, r)
