@@ -54,3 +54,29 @@ def test_gate_rows_all_true_at_sf0001(spark):
             flags = [v for k, v in r.asDict().items()
                      if k.endswith("_ok") or k.startswith("within")]
             assert all(flags), (q, r)
+
+
+def test_zorder_key_bit_interleave_and_locality(spark):
+    from etherscan_contract_crawler_spark.analytics.packing import zorder_key
+
+    rows = [(1, 0b1010, 0b0101), (2, 0, 0), (3, 65535, 65535), (4, 1, 0), (5, 0, 1)]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    out = {r["k"]: r["zkey"] for r in zorder_key(df, "a", "b").collect()}
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    for k, a, b in rows:
+        assert out[k] == morton(a, b)
+    assert out[4] == 1 and out[5] == 2  # a -> even bits, b -> odd bits
+    assert out[3] == (1 << 32) - 1
+
+
+def test_zorder_key_masks_high_bits(spark):
+    from etherscan_contract_crawler_spark.analytics.packing import zorder_key
+
+    df = spark.createDataFrame([(1, 65536 + 3, 0)], ["k", "a", "b"])
+    out = zorder_key(df, "a", "b").collect()[0]
+    assert out["zkey"] == 0b101  # only the low 16 bits of a participate
