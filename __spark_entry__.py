@@ -7199,6 +7199,63 @@ def zorder_layout_q(spark, sf_dir):
     return zorder_key(src, "da", "tb", bits=16)
 
 
+# Quality-score calibration (reliability diagram for the curation stack):
+# decile-bin the [0,1] quality score and measure, per bin, how often an
+# independent keep rule agrees — the check a curator runs before trusting
+# a scorer's threshold. Bins integer (least(floor(q*10),9)); keep proxy =
+# the C4 terminal-punctuation rule on the raw text. One explode-free
+# projection + one decile-cardinality agg.
+@_q(
+    "quality_calibration",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter(list_distinct({_SQL_WORDS}),
+                 x -> list_contains(['the','and','of','to','in','is','it',
+                                     'that','was','for'], x))) AS en_hits
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * least(en_hits / 5.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                                       THEN n_punct / CAST(n_chars AS DOUBLE)
+                                       ELSE 0.0 END), 6) AS quality,
+             CASE WHEN regexp_matches(rtrim(text), '[.!?"]$')
+                  THEN 1 ELSE 0 END AS keep
+      FROM feats),
+    binned AS (
+      SELECT CAST(least(CAST(floor(quality * 10) AS BIGINT), 9) AS INT)
+               AS decile,
+             keep
+      FROM scored)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           round(SUM(keep) / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+    FROM binned GROUP BY decile
+    """,
+)
+def quality_calibration_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d, keep_cols=("text",))
+    keep = F.when(
+        F.rtrim(F.col("text")).rlike(r'[.!?"]$'), F.lit(1)
+    ).otherwise(F.lit(0))
+    binned = q.select(
+        F.least(F.floor(F.col("quality") * 10).cast("long"), F.lit(9))
+        .cast("int")
+        .alias("decile"),
+        keep.alias("keep"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("keep") / F.count("*"), 6).alias("keep_rate"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -7207,6 +7264,7 @@ def zorder_layout_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "quality_calibration",
     "zorder_layout",
     "fetch_status_matrix", "hll_count_gate", "quantile_sketch_gate",
     "discovery_refill", "a_href_extract",

@@ -80,3 +80,19 @@ def test_zorder_key_masks_high_bits(spark):
     df = spark.createDataFrame([(1, 65536 + 3, 0)], ["k", "a", "b"])
     out = zorder_key(df, "a", "b").collect()[0]
     assert out["zkey"] == 0b101  # only the low 16 bits of a participate
+
+
+def test_quality_calibration_bins_cover_and_sum(spark):
+    rows = entry.QUERIES["quality_calibration"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["decile"] <= 9
+        assert 0.0 <= r["keep_rate"] <= 1.0
+    # bin populations sum to the corpus size
+    import duckdb
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
