@@ -6636,19 +6636,22 @@ def rate_compliance_q(spark, sf_dir):
              || CASE WHEN o_orderkey % 3 = 0 THEN '&ref=home' ELSE '' END
                AS url
       FROM orders),
-    q AS (SELECT regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS qs FROM u),
+    q AS (SELECT url, regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS qs FROM u),
+    p0 AS (SELECT url, unnest(list_filter(string_split(qs, '&'), x -> x <> ''))
+             AS p FROM q),
     pairs AS (
-      SELECT string_split(p, '=')[1] AS param,
+      SELECT url, string_split(p, '=')[1] AS param,
              regexp_extract(p, '^[^=]*=?(.*)$', 1) AS val
-      FROM (SELECT unnest(list_filter(string_split(qs, '&'), x -> x <> ''))
-              AS p FROM q)),
-    pv AS (SELECT param, val, count(*) AS c FROM pairs GROUP BY param, val),
-    agg AS (SELECT param, CAST(SUM(c) AS BIGINT) AS n_urls,
-                   CAST(count(*) AS BIGINT) AS n_distinct_vals
-            FROM pv GROUP BY param)
-    SELECT param, n_urls, n_distinct_vals,
-           round(n_distinct_vals / CAST(n_urls AS DOUBLE), 6) AS uniq_ratio,
-           n_urls >= 50 AND 10 * n_distinct_vals >= 9 * n_urls AS candidate
+      FROM p0),
+    agg AS (SELECT param, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
+            FROM pairs GROUP BY param)
+    SELECT param, n_urls, n_occurrences, n_distinct_vals,
+           round(n_distinct_vals / CAST(n_occurrences AS DOUBLE), 6)
+             AS uniq_ratio,
+           n_urls >= 50 AND 10 * n_distinct_vals >= 9 * n_occurrences
+             AS candidate
     FROM agg
     """,
 )

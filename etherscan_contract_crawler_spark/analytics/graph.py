@@ -280,12 +280,17 @@ def trustrank(
     oracle-chainable).
     """
     edges = edges.select("src", "dst").distinct()
+    t_small = trusted.select(F.col("id").alias("_tid")).distinct()
+    # the node universe includes trusted seeds NOT yet in the link graph:
+    # a vetted seed with no harvested links still holds its teleport mass
+    # (tr >= (1-d)/|T|), and n_trusted counts it — dropping it would both
+    # lose its row and deflate every other score
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
+        .union(t_small.select(F.col("_tid").alias("id")))
         .distinct()
     )
-    t_small = trusted.select(F.col("id").alias("_tid")).distinct()
     n_trusted = t_small.count()
     if n_trusted == 0:
         return nodes.withColumn("tr", F.lit(0.0))
@@ -360,9 +365,10 @@ def seed_hop_distance(
     part_edges = edges.repartition("src").persist()
     part_edges.count()
 
-    dist = seeds.select(F.col("id").cast("long").alias("id")).distinct().withColumn(
-        "hops", F.lit(0)
-    )
+    # type-agnostic like pagerank/trustrank: ids may be longs OR strings
+    # (the engine's own url_key format is a string) — no cast, the join
+    # resolves on whatever type the caller's graph uses
+    dist = seeds.select("id").distinct().withColumn("hops", F.lit(0))
     for _ in range(max_hops):
         expanded = (
             part_edges.join(dist, on=part_edges["src"] == dist["id"])

@@ -233,7 +233,7 @@ def zorder_key(
     col_a: str,
     col_b: str,
     bits: int = 16,
-) -> "F.Column":
+) -> DataFrame:
     """Z-order (Morton) interleave of two integer columns — the
     multi-dimensional clustering key lakehouse layouts sort by so file
     min/max stats prune on BOTH dimensions (Delta/Iceberg OPTIMIZE

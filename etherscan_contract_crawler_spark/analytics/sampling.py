@@ -209,26 +209,41 @@ def mixture_plan(
     broadcast join, zero shuffles, pure codegen arithmetic. The heavy
     lifting (counting tokens) already happened upstream.
     """
-    j = source_tokens.join(F.broadcast(targets), on=source_col, how="inner").select(
+    # RIGHT join from the targets dim: a target share whose source has no
+    # token row (typo, empty source, upstream filter) must SURFACE in the
+    # plan as n_tokens=0 / rate 0 / repeat 0 — an inner join would silently
+    # commit a mixture that sums to less than the budget
+    j = source_tokens.join(
+        F.broadcast(targets), on=source_col, how="right"
+    ).select(
         source_col,
-        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
         F.col(weight_col).cast("double").alias("target_share"),
         F.floor(F.col(weight_col) * F.lit(int(token_budget)))
         .cast("long")
         .alias("want_tokens"),
     )
-    rate = F.round(
-        F.least(
-            F.lit(1.0),
-            F.col("want_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
-        ),
-        6,
+    missing = F.col("n_tokens") == 0
+    rate = F.when(missing, F.lit(0.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("want_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+            ),
+            6,
+        )
     )
-    # integer ceil — (a + b - 1) DIV b — no float boundary for the oracle
-    repeat = F.when(
-        F.col("want_tokens") <= F.col("n_tokens"), F.lit(1)
-    ).otherwise(
-        F.expr("(want_tokens + greatest(n_tokens, 1) - 1) DIV greatest(n_tokens, 1)")
+    # integer ceil — (a + b - 1) DIV b — no float boundary for the oracle;
+    # repeat 0 for a missing source: there is nothing to repeat, and the
+    # zero makes the gap visible in the caller's |realized - want| audit
+    repeat = (
+        F.when(missing, F.lit(0))
+        .when(F.col("want_tokens") <= F.col("n_tokens"), F.lit(1))
+        .otherwise(
+            F.expr(
+                "(want_tokens + greatest(n_tokens, 1) - 1) DIV greatest(n_tokens, 1)"
+            )
+        )
     )
     return j.select(
         source_col,

@@ -307,39 +307,46 @@ def tracking_param_mine(
     (sessid, token, timestamps) carries no addressing information — each
     value names the same resource — so it's a canonicalization candidate;
     a parameter with few distinct values (page, lang, sort) is addressing.
-    Flag rule, integer cross-multiplied (no float boundary):
-    ``n_urls >= min_urls AND 10 * n_distinct_vals >= 9 * n_urls``.
+    ``n_urls`` counts DISTINCT URLs carrying the param (a multi-valued
+    ``?tag=a&tag=b`` URL counts once toward the frequency floor), while
+    dispersion compares distinct values against total occurrences. Flag
+    rule, integer cross-multiplied (no float boundary):
+    ``n_urls >= min_urls AND 10 * n_distinct_vals >= 9 * n_occurrences``.
 
-    Returns (param, n_urls, n_distinct_vals, uniq_ratio, candidate) —
-    review output; the accepted set feeds the TRACKING_PARAMS_RE dim.
+    Returns (param, n_urls, n_occurrences, n_distinct_vals, uniq_ratio,
+    candidate) — review output; the accepted set feeds the
+    TRACKING_PARAMS_RE dim.
 
-    Scale notes: explode query params (Generate, no shuffle), then the
-    distinct-count runs as its own hash agg on (param, value) followed by
-    the per-param rollup — two map-side-combinable exchanges over
-    param-cardinality data, never URL-cardinality twice. Ratio rounded to
+    Scale notes: explode query params (Generate, no shuffle), then ONE
+    grouped aggregate with two exact distinct counts (Spark plans the
+    multi-distinct via expand — a 3x row multiplication of the
+    param-pair stream, the accepted cost of exact distincts; swap in
+    approx_count_distinct for a 100-TB profile run). Ratio rounded to
     6 dp in both engines.
     """
     u = F.col(url_col)
     query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
     params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
-    pairs = urls.select(F.explode(params).alias("p")).select(
+    pairs = urls.select(u.alias("_u"), F.explode(params).alias("p")).select(
+        "_u",
         F.substring_index("p", "=", 1).alias("param"),
         F.regexp_extract("p", r"^[^=]*=?(.*)$", 1).alias("val"),
     )
-    per_val = pairs.groupBy("param", "val").agg(F.count("*").alias("c"))
-    agg = per_val.groupBy("param").agg(
-        F.sum("c").cast("long").alias("n_urls"),
-        F.count("*").cast("long").alias("n_distinct_vals"),
+    agg = pairs.groupBy("param").agg(
+        F.count_distinct("_u").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.count_distinct("val").cast("long").alias("n_distinct_vals"),
     )
     return agg.select(
         "param",
         "n_urls",
+        "n_occurrences",
         "n_distinct_vals",
-        F.round(F.col("n_distinct_vals") / F.col("n_urls"), 6).alias(
+        F.round(F.col("n_distinct_vals") / F.col("n_occurrences"), 6).alias(
             "uniq_ratio"
         ),
         (
             (F.col("n_urls") >= int(min_urls))
-            & (10 * F.col("n_distinct_vals") >= 9 * F.col("n_urls"))
+            & (10 * F.col("n_distinct_vals") >= 9 * F.col("n_occurrences"))
         ).alias("candidate"),
     )

@@ -143,8 +143,8 @@ def frontier_gc(
     Returns one row per domain: (domain, kept, dropped_seen,
     dropped_dead). Precedence: a key in both tables counts as
     dropped_seen — the seen set is ground truth that the work happened;
-    dead-letter is advisory. The caller keeps rows via the same joins
-    filtered instead of aggregated (``frontier_gc_keep``).
+    dead-letter is advisory. :func:`frontier_gc_keep` returns the
+    retained ROWS under the same membership rule.
 
     Scale notes: ONE pass over the frontier — two LEFT joins marking
     membership plus one hash agg (map-side combinable, output is
@@ -175,4 +175,22 @@ def frontier_gc(
         F.sum(
             (F.col("_seen").isNull() & F.col("_dead").isNotNull()).cast("long")
         ).alias("dropped_dead"),
+    )
+
+
+def frontier_gc_keep(
+    frontier: DataFrame,
+    seen: DataFrame,
+    dead: DataFrame,
+    key_col: str = "url_key",
+) -> DataFrame:
+    """Row-keeping companion of :func:`frontier_gc`: the retained frontier
+    itself (same membership rule — a key in seen OR dead is dropped, so
+    precedence never matters for keeping). Two keys-only left_anti joins;
+    at scale both are sort-merge off one frontier exchange, and the
+    compaction write consumes the result directly."""
+    s = seen.select(F.col(key_col)).distinct()
+    d = dead.select(F.col(key_col)).distinct()
+    return frontier.join(s, on=key_col, how="left_anti").join(
+        d, on=key_col, how="left_anti"
     )

@@ -482,8 +482,12 @@ def depth_budget(
     w = Window.partitionBy(domain_col, "depth").orderBy(
         F.col(priority_col).desc(), F.col(key_col).asc()
     )
+    # Spark's shiftright inherits Java's shift-count masking (count mod 32/64),
+    # so shiftright(16, 32) == 16 — a 32-segment spider-trap URL would get the
+    # FULL budget back. Cap the shift count below the mask boundary; DuckDB's
+    # `>>` saturates to 0 naturally, and greatest(...,1) makes both floors 1.
     budget = F.greatest(
-        F.expr(f"shiftright({int(base_budget)}, depth)"), F.lit(1)
+        F.expr(f"shiftright({int(base_budget)}, least(depth, 30))"), F.lit(1)
     )
     return (
         pending.withColumn("depth", depth.cast("int"))
@@ -516,7 +520,9 @@ def rate_compliance_audit(
     limit, contract_crawler.py:372-375). For every fetch, the number of
     same-domain fetches in the trailing ``window_s`` seconds (RANGE frame
     over integer epoch seconds) is compared with the domain's budget;
-    one row per domain reports the peak and the violation count.
+    one row per domain reports the peak and the violation count. Domains
+    fetched but MISSING from the budgets dim stay in the report, audited
+    against DEFAULT_MAX_CALLS (with_budget's fallback) — never dropped.
 
     Returns (domain, n_fetches, peak_in_window, n_violations, compliant).
 
@@ -532,16 +538,25 @@ def rate_compliance_audit(
         .orderBy("_ts")
         .rangeBetween(-(int(window_s) - 1), 0)
     )
-    base = fetch_log.select(
-        F.col(domain_col).alias("domain"), F.col(ts_col).cast("long").alias("_ts")
-    ).join(
-        F.broadcast(
-            budgets.select(
-                F.col(domain_col).alias("domain"),
-                F.col(max_col).cast("long").alias("_max"),
-            )
-        ),
-        on="domain",
+    # LEFT join + default (with_budget's pattern): a fetched domain MISSING
+    # from the budgets dim is precisely what a compliance audit must surface
+    # — an inner join would silently drop it from the report
+    base = (
+        fetch_log.select(
+            F.col(domain_col).alias("domain"),
+            F.col(ts_col).cast("long").alias("_ts"),
+        )
+        .join(
+            F.broadcast(
+                budgets.select(
+                    F.col(domain_col).alias("domain"),
+                    F.col(max_col).cast("long").alias("_max"),
+                )
+            ),
+            on="domain",
+            how="left",
+        )
+        .fillna({"_max": DEFAULT_MAX_CALLS})
     )
     scored = base.withColumn("_in_win", F.count("*").over(w))
     return scored.groupBy("domain").agg(

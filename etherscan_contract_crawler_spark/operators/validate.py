@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame
 from ..functions.images import decode_image, phash64, psnr
 from ..sources.synthetic import payload_for_key
 
+
+def _luma_q(px):
+    """ITU-R 601 fixed-point luma (//1000, int64) — THE shared quantization
+    every decode gate's exactness contract hinges on: one definition so the
+    gates can never desynchronize bit-for-bit."""
+    return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+
 def validate_payload_row(p: dict) -> bool:
     """Single-payload validation (shared by the fused fetch+validate stage):
     decode bytes, compare against the regenerated reference — exact pixels
@@ -147,8 +154,7 @@ def channel_stats(images: DataFrame) -> DataFrame:
                 means = [int(px[:, :, c].sum() // n) for c in range(3)]
                 dyn = int(px.max() - px.min())
                 # integer luma (ITU-R 601 fixed-point), 8-bin histogram
-                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
-                        + 114 * px[:, :, 2]) // 1000
+                luma = _luma_q(px)
                 bins = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
                 p = bins[bins > 0] / n
                 ent = float(-(p * np.log2(p)).sum())
@@ -211,8 +217,7 @@ def blur_gate(images: DataFrame) -> DataFrame:
                     out["sharp"].append(None)
                     out["keep"].append(False)
                     continue
-                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
-                        + 114 * px[:, :, 2]) // 1000
+                luma = _luma_q(px)
                 core = luma[1:-1, 1:-1]
                 lap = (luma[:-2, 1:-1] + luma[2:, 1:-1] + luma[1:-1, :-2]
                        + luma[1:-1, 2:] - 4 * core)
@@ -284,8 +289,7 @@ def image_quality_gates(
                     continue
                 n = px.shape[0] * px.shape[1]
                 dyn = int(px.max() - px.min())
-                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
-                        + 114 * px[:, :, 2]) // 1000
+                luma = _luma_q(px)
                 bins = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
                 p = bins[bins > 0] / n
                 ent = float(-(p * np.log2(p)).sum())
@@ -373,9 +377,7 @@ def watermark_band_gate(images: DataFrame) -> DataFrame:
                     out["watermarked"].append(None)
                     out["keep"].append(False)
                     continue
-                luma = (
-                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
-                ) // 1000
+                luma = _luma_q(px)
                 grad = np.abs(luma[:, 1:] - luma[:, :-1])
                 h = grad.shape[0]
                 split = h - max(h // 5, 1)  # bottom quintile, >= 1 row

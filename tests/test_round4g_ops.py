@@ -74,18 +74,32 @@ def test_tracking_param_mine_min_urls_floor(spark):
 
 
 def test_tracking_param_mine_integer_boundary_9_of_10(spark):
-    # exactly 90% distinct: 10*9 >= 9*10 -> candidate (>= is inclusive)
-    urls = [f"https://e.com/a?x=v{i}" for i in range(9)] + [
-        "https://e.com/a?x=v0"
+    # exactly 90% distinct values over occurrences: 10*9 >= 9*10 ->
+    # candidate (>= is inclusive); the 10th URL is distinct but repeats v0
+    urls = [f"https://e.com/a{i}?x=v{i}" for i in range(9)] + [
+        "https://e.com/b?x=v0"
     ]
     out = tracking_param_mine(_urls(spark, urls), min_urls=10).collect()[0]
-    assert (out["n_urls"], out["n_distinct_vals"]) == (10, 9)
+    assert (out["n_urls"], out["n_occurrences"], out["n_distinct_vals"]) == (
+        10, 10, 9,
+    )
     assert out["candidate"] is True
 
 
+def test_tracking_param_mine_counts_urls_not_occurrences(spark):
+    # multi-valued ?tag=a&tag=b on every URL: occurrences double but the
+    # frequency floor sees DISTINCT URLs (the review-caught inflation bug)
+    urls = [f"https://e.com/p{i}?tag=a&tag=b" for i in range(30)]
+    out = tracking_param_mine(_urls(spark, urls), min_urls=50).collect()[0]
+    assert out["n_urls"] == 30 and out["n_occurrences"] == 60
+    assert out["candidate"] is False  # 30 URLs < 50, despite 60 occurrences
+
+
 def test_tracking_param_mine_valueless_and_fragment(spark):
-    # a bare flag param counts with empty value; fragments never parse
+    # a bare flag param counts with empty value; fragments never parse;
+    # a repeated identical URL contributes occurrences, not URL count
     urls = ["https://e.com/a?flag", "https://e.com/a?flag", "https://e.com/a#?notaquery=1"]
     out = {r["param"]: r for r in tracking_param_mine(_urls(spark, urls), min_urls=1).collect()}
-    assert out["flag"]["n_urls"] == 2 and out["flag"]["n_distinct_vals"] == 1
+    assert out["flag"]["n_urls"] == 1 and out["flag"]["n_occurrences"] == 2
+    assert out["flag"]["n_distinct_vals"] == 1
     assert "notaquery" not in out
