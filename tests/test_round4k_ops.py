@@ -96,3 +96,16 @@ def test_quality_calibration_bins_cover_and_sum(spark):
         "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_dataset_card_dup_accounting(spark):
+    rows = entry.QUERIES["dataset_card"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_unique_docs"] <= r["n_docs"]
+        assert r["n_docs_in_dup_groups"] <= r["n_docs"]
+        # dup-group members + singletons account for every doc exactly
+        n_singletons = r["n_unique_docs"] - (
+            r["n_docs_in_dup_groups"] - (r["n_docs"] - r["n_unique_docs"])
+        )
+        assert n_singletons >= 0
