@@ -7297,6 +7297,66 @@ def dataset_card_q(spark, sf_dir):
     )
 
 
+# Corpus release diff: version-over-version accounting between two corpus
+# snapshots — added / removed / changed / unchanged doc counts by id and
+# normalized-content fingerprint (the release-notes numbers next to
+# dataset_card, and the input to incremental recrawl/retrain decisions).
+# FULL OUTER join on doc_id, one hash agg; fingerprints reuse the F4+F3
+# chain so "changed" means the content changed, not its whitespace.
+@_q(
+    "corpus_release_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents WHERE doc_id % 7 <> 0),
+    v2 AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' appended-edit'
+                    ELSE text END), '\\s+', ' ', 'g'))) AS f
+      FROM documents WHERE doc_id % 11 <> 0),
+    j AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             v1.f AS f1, v2.f AS f2
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT
+      CAST(sum(CASE WHEN f1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      CAST(sum(CASE WHEN f2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      CAST(sum(CASE WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f1 <> f2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      CAST(sum(CASE WHEN f1 = f2 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+    FROM j
+    """,
+)
+def corpus_release_diff_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = fingerprint(d.filter("doc_id % 7 <> 0")).select(
+        "doc_id", F.col("fingerprint").alias("f1")
+    )
+    v2_docs = d.filter("doc_id % 11 <> 0").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" appended-edit"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2 = fingerprint(v2_docs).select("doc_id", F.col("fingerprint").alias("f2"))
+    j = v1.join(v2, on="doc_id", how="full_outer")
+    return j.agg(
+        F.sum(F.col("f1").isNull().cast("long")).alias("added"),
+        F.sum(F.col("f2").isNull().cast("long")).alias("removed"),
+        F.sum(
+            (F.col("f1").isNotNull() & F.col("f2").isNotNull()
+             & (F.col("f1") != F.col("f2"))).cast("long")
+        ).alias("changed"),
+        F.sum((F.col("f1") == F.col("f2")).cast("long")).alias("unchanged"),
+    )
+
+
 #: Driver-visible ordering: the driver's correctness window has trailed the
 #: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
 #: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
@@ -7305,6 +7365,7 @@ def dataset_card_q(spark, sf_dir):
 #: every entry regardless of order (CORRECTNESS_LOCAL artifact).
 _NEWEST_FIRST = [
     # round 4
+    "corpus_release_diff",
     "dataset_card",
     "quality_calibration",
     "zorder_layout",

@@ -71,6 +71,7 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "corpus_release_diff",
     "dataset_card",
     "quality_calibration",
     "zorder_layout",

@@ -109,3 +109,27 @@ def test_dataset_card_dup_accounting(spark):
             r["n_docs_in_dup_groups"] - (r["n_docs"] - r["n_unique_docs"])
         )
         assert n_singletons >= 0
+
+
+def test_corpus_release_diff_accounting_identity(spark):
+    import duckdb
+
+    r = entry.QUERIES["corpus_release_diff"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    n_v1 = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id % 7 <> 0"
+    ).fetchone()[0]
+    n_v2 = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id % 11 <> 0"
+    ).fetchone()[0]
+    # every v1 doc is removed/changed/unchanged; every v2 doc is
+    # added/changed/unchanged — both identities must hold exactly
+    assert r["removed"] + r["changed"] + r["unchanged"] == n_v1
+    assert r["added"] + r["changed"] + r["unchanged"] == n_v2
+    assert r["changed"] > 0 and r["added"] > 0 and r["removed"] > 0
