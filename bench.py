@@ -71,6 +71,7 @@ HEADLINE = [
     "shard_assign",
     "aspect_bucket",
     "oov_rate",
+    "crossmodal_recall",
     "corpus_release_diff",
     "dataset_card",
     "quality_calibration",

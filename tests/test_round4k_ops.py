@@ -133,3 +133,16 @@ def test_corpus_release_diff_accounting_identity(spark):
     assert r["removed"] + r["changed"] + r["unchanged"] == n_v1
     assert r["added"] + r["changed"] + r["unchanged"] == n_v2
     assert r["changed"] > 0 and r["added"] > 0 and r["removed"] > 0
+
+
+def test_crossmodal_recall_ranks_are_valid(spark):
+    rows = entry.QUERIES["crossmodal_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    n_caps = len(rows)
+    for r in rows:
+        assert 1 <= r["true_rank"] <= 100
+        assert r["in_top5"] == (r["true_rank"] <= 5)
+    # one row per caption, no caption lost by the rank filter
+    assert len({r["pair_id"] for r in rows}) == n_caps
