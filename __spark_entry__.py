@@ -14,7 +14,9 @@ reproduce them byte-for-byte.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -6588,13 +6590,17 @@ def image_watermark_gate_q(spark, sf_dir):
       FROM events),
     bud AS (SELECT 'd' || CAST(i AS VARCHAR) AS domain,
                    CAST(3 + i % 4 AS BIGINT) AS mx
-            FROM range(50) t(i)),
+            FROM range(40) t(i)),
     sc AS (
-      SELECT log.domain, bud.mx,
+      -- LEFT join + COALESCE mirrors the engine's with-default fallback
+      -- (politeness.py DEFAULT_MAX_CALLS=5): domains d40..d49 have no
+      -- budget row, so the default-budget branch is oracle-checked too
+      -- (r4 ADVICE).
+      SELECT log.domain, COALESCE(bud.mx, 5) AS mx,
              count(*) OVER (PARTITION BY log.domain ORDER BY ts_s
                             RANGE BETWEEN 9 PRECEDING AND CURRENT ROW)
                AS in_win
-      FROM log JOIN bud ON log.domain = bud.domain)
+      FROM log LEFT JOIN bud ON log.domain = bud.domain)
     SELECT domain, CAST(count(*) AS BIGINT) AS n_fetches,
            CAST(max(in_win) AS BIGINT) AS peak_in_window,
            CAST(sum(CASE WHEN in_win > mx THEN 1 ELSE 0 END) AS BIGINT)
@@ -6615,7 +6621,9 @@ def rate_compliance_q(spark, sf_dir):
         ),
         F.unix_timestamp("ts").cast("long").alias("ts_s"),
     )
-    budgets = spark.range(50).select(
+    # only d0..d39 carry a budget row: d40..d49 exercise the engine's
+    # DEFAULT_MAX_CALLS fallback, which the LEFT-JOIN oracle now mirrors
+    budgets = spark.range(40).select(
         F.concat(F.lit("d"), F.col("id").cast("string")).alias("domain"),
         (F.lit(3) + F.col("id") % 4).cast("long").alias("max_per_window"),
     )
@@ -6714,7 +6722,7 @@ def bpe_merge_mine_q(spark, sf_dir):
     "outlink_spam_ratio",
     """
     WITH e AS (
-      SELECT 'h' || CAST(l_orderkey % 500 AS VARCHAR) AS src_host,
+      SELECT DISTINCT 'h' || CAST(l_orderkey % 500 AS VARCHAR) AS src_host,
              'h' || CAST(l_partkey % 500 AS VARCHAR) AS dst_host
       FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
     bl AS (SELECT 'h' || CAST(i AS VARCHAR) AS host
@@ -6858,21 +6866,23 @@ def adaptive_politeness_q(spark, sf_dir):
                CASE WHEN doc_id % 7 = 0 THEN
                  '<a href="https://n.com/x"><b>nested</b></a>' END,
                CASE WHEN doc_id % 11 = 0 THEN
-                 '<a href="https://m.com/y" rel="me,nofollow">m</a>' END
+                 '<a href="https://m.com/y" rel="me,nofollow">m</a>' END,
+               CASE WHEN doc_id % 13 = 0 THEN
+                 '<a href=''https://real.com/r'' rel=''me''>see href="https://decoy.com/d" rel="nofollow" here</a>' END
              ) AS body
       FROM documents),
     t0 AS (SELECT doc_id,
                   regexp_extract_all(body, '(?i)<a\\s[^>]*>[^<]*</a>', 0) AS ts
            FROM pages),
     s0 AS (SELECT doc_id, list_transform(ts, t -> struct_pack(
-             href := CASE WHEN regexp_extract(t, '(?i)\\shref\\s*=\\s*"([^"]*)"', 1) <> ''
-                          THEN regexp_extract(t, '(?i)\\shref\\s*=\\s*"([^"]*)"', 1)
-                          ELSE regexp_extract(t, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1) END,
+             href := CASE WHEN regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\shref\\s*=\\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\shref\\s*=\\s*"([^"]*)"', 1)
+                          ELSE regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\shref\\s*=\\s*''([^'']*)''', 1) END,
              txt := regexp_extract(t, '(?i)>([^<]*)</a>', 1),
              nofollow := regexp_matches(
-               CASE WHEN regexp_extract(t, '(?i)\\srel\\s*=\\s*"([^"]*)"', 1) <> ''
-                    THEN regexp_extract(t, '(?i)\\srel\\s*=\\s*"([^"]*)"', 1)
-                    ELSE regexp_extract(t, '(?i)\\srel\\s*=\\s*''([^'']*)''', 1) END,
+               CASE WHEN regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\srel\\s*=\\s*"([^"]*)"', 1) <> ''
+                    THEN regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\srel\\s*=\\s*"([^"]*)"', 1)
+                    ELSE regexp_extract(regexp_extract(t, '(?i)^<a\\s[^>]*>', 0), '(?i)\\srel\\s*=\\s*''([^'']*)''', 1) END,
                '(?i)(^|[\\s,])nofollow([\\s,]|$)'))) AS cands
            FROM t0),
     s1 AS (SELECT doc_id, list_filter(cands, c -> c.href <> '') AS kept FROM s0),
@@ -6913,6 +6923,14 @@ def a_href_extract_q(spark, sf_dir):
         F.when(
             did % 11 == 0,
             F.lit('<a href="https://m.com/y" rel="me,nofollow">m</a>'),
+        ),
+        F.when(
+            did % 13 == 0,
+            # attribute-lookalike in anchor TEXT: the real (single-quoted)
+            # href must win over the double-quoted decoy in the text
+            F.lit(
+                "<a href='https://real.com/r' rel='me'>see href=\"https://decoy.com/d\" rel=\"nofollow\" here</a>"
+            ),
         ),
     )
     pages = d.select("doc_id", body.alias("body"))
@@ -7429,12 +7447,25 @@ def crossmodal_recall_q(spark, sf_dir):
     )
 
 
-#: Driver-visible ordering: the driver's correctness window has trailed the
-#: registry for two rounds (r1: 44, r2: 48, r3: 50 rows vs 61 registered —
-#: r3 VERDICT #2), so the NEWEST operators go first: whatever prefix the
-#: driver samples always covers the latest round's work, while the
-#: long-green veterans ride at the back. tools/check_entry.py still runs
-#: every entry regardless of order (CORRECTNESS_LOCAL artifact).
+#: Driver-visible ordering (r4 VERDICT #1): the driver's correctness window
+#: is ~50 rows/round while the registry holds 167+, so plain newest-first
+#: starves older queries of driver rows forever.  DRIVER_SEEN.json (committed,
+#: the union of names across all prior CORRECTNESS_r0*.json files) marks
+#: which queries already have a driver row; queries() sorts the NEVER-seen
+#: ones ahead of the veterans, newest-first within each class, so every
+#: driver window spends its budget on queries that still lack driver
+#: evidence.  tools/check_entry.py still runs every entry regardless of
+#: order (CORRECTNESS_LOCAL artifact).
+_DRIVER_SEEN_FILE = Path(__file__).resolve().parent / "DRIVER_SEEN.json"
+
+
+def _driver_seen() -> set:
+    try:
+        return set(json.loads(_DRIVER_SEEN_FILE.read_text())["names"])
+    except Exception:
+        return set()
+
+
 _NEWEST_FIRST = [
     # round 4
     "crossmodal_recall",
@@ -7492,9 +7523,13 @@ _NEWEST_FIRST = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {n: QUERIES[n] for n in _NEWEST_FIRST if n in QUERIES}
-    out.update({n: f for n, f in QUERIES.items() if n not in out})
-    return out
+    pref = [n for n in _NEWEST_FIRST if n in QUERIES]
+    ordered = pref + [n for n in QUERIES if n not in set(pref)]
+    seen = _driver_seen()
+    ordered = [n for n in ordered if n not in seen] + [
+        n for n in ordered if n in seen
+    ]
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -406,12 +406,17 @@ def outlink_spam_ratio(
     Scale notes: the edge list — the 100-TB side — takes ONE hash agg on
     src after a broadcast membership probe against the blocklist dim
     (hand-curated, KB-sized); no edge-sized shuffle on a blocklist key,
-    mirroring blocklist_filter's design.
+    mirroring blocklist_filter's design. Edges are deduped on (src, dst)
+    first — consistent with trustrank/seed_hop_distance — so repeated
+    identical links (a nav bar on every page) can't inflate n_out/n_spam
+    or flip the suspect flag (r4 ADVICE); the distinct's shuffle folds
+    into the groupBy(src) exchange under AQE.
     """
     probe = F.broadcast(
         blocklist.select(F.col("host").alias("_bh")).distinct()
     )
-    j = edges.join(probe, edges[dst_col] == F.col("_bh"), "left")
+    uniq = edges.select(src_col, dst_col).distinct()
+    j = uniq.join(probe, uniq[dst_col] == F.col("_bh"), "left")
     agg = j.groupBy(src_col).agg(
         F.count("*").cast("long").alias("n_out"),
         F.sum(F.col("_bh").isNotNull().cast("long")).alias("n_spam"),

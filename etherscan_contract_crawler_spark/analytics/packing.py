@@ -147,8 +147,15 @@ def warc_pack(
     a single Exchange(shard) + Sort + chained Window operators. The DuckDB
     oracle intentionally uses the naive two-window formulation, so the
     rewrite itself is what the correctness row checks.
+
+    Determinism (r4 ADVICE): the within-shard sort key is
+    ``(url_key, n_bytes)`` — every column that feeds the running sums —
+    so duplicate url_keys in a shard cannot make cum_before/seg_offset
+    depend on partition-merge order: ties are only possible between rows
+    identical in ALL projected columns, and permuting identical rows
+    yields the identical output multiset.
     """
-    w = Window.partitionBy(shard_col).orderBy(key_col)
+    w = Window.partitionBy("shard").orderBy("url_key", "n_bytes")
     w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     nb = F.col(bytes_col).cast("long")

@@ -302,6 +302,7 @@ def img_candidates(body: Column | str) -> Column:
 
 
 _A_TAG_RE = r"(?i)<a\s[^>]*>[^<]*</a>"
+_A_OPEN_RE = r"(?i)^<a\s[^>]*>"
 _HREF_DQ_RE = r'(?i)\shref\s*=\s*"([^"]*)"'
 _HREF_SQ_RE = r"(?i)\shref\s*=\s*'([^']*)'"
 _REL_DQ_RE = r'(?i)\srel\s*=\s*"([^"]*)"'
@@ -338,11 +339,17 @@ def a_candidates(body: Column | str) -> Column:
     tags = F.regexp_extract_all(b, F.lit(_A_TAG_RE), F.lit(0))
 
     def per_tag(t):
-        href_dq = F.regexp_extract(t, _HREF_DQ_RE, 1)
-        href_sq = F.regexp_extract(t, _HREF_SQ_RE, 1)
+        # Attribute regexes run on the OPENING TAG only (r4 ADVICE): anchor
+        # TEXT containing a literal href="..."/rel="..." must not override
+        # the real attribute (the dq-over-sq preference would otherwise let
+        # a double-quoted lookalike in the text beat a single-quoted real
+        # attribute).  The oracle mirrors this same head-extract.
+        head = F.regexp_extract(t, _A_OPEN_RE, 0)
+        href_dq = F.regexp_extract(head, _HREF_DQ_RE, 1)
+        href_sq = F.regexp_extract(head, _HREF_SQ_RE, 1)
         href = F.when(href_dq != "", href_dq).otherwise(href_sq)
-        rel_dq = F.regexp_extract(t, _REL_DQ_RE, 1)
-        rel_sq = F.regexp_extract(t, _REL_SQ_RE, 1)
+        rel_dq = F.regexp_extract(head, _REL_DQ_RE, 1)
+        rel_sq = F.regexp_extract(head, _REL_SQ_RE, 1)
         rel = F.when(rel_dq != "", rel_dq).otherwise(rel_sq)
         return F.struct(
             href.alias("href"),
