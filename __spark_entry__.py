@@ -7447,6 +7447,285 @@ def crossmodal_recall_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- round 5 additions
+# Adversarial-distribution gates (r4 VERDICT #4) + beyond-batch LSH legs
+# for the two bounded-anchor eval queries (r4 VERDICT #5).
+
+
+def _h01(tag: str, *cols) -> Column:
+    """Deterministic uniform [0,1) from md5 over '|'-joined inputs —
+    byte-identical in Spark (conv/substring/md5) and DuckDB
+    (CAST('0x'||substr(md5(..),1,15) AS BIGINT)), so skewed fixtures built
+    from it can be mirrored exactly in oracle SQL (parity spot-checked in
+    tests)."""
+    parts = [F.lit(tag)] + [
+        c.cast("string") if isinstance(c, Column) else F.lit(str(c))
+        for c in cols
+    ]
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
+    return (h.cast("long") % 1000000) / 1000000.0
+
+
+def _sql_h01(tag: str, expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(concat_ws('|', '{tag}', {expr})), 1, 15)) "
+        "AS BIGINT) % 1000000) / 1000000.0"
+    )
+
+
+def _skew_vecs(e: DataFrame) -> DataFrame:
+    """Adversarial ANN fixture (r4 VERDICT #4): clustered embeddings with
+    Zipf-ish cluster sizes and correlated dimensions, derived
+    DETERMINISTICALLY from the driver's embeddings table (its vec_id set
+    and dimensionality; the uniform values are replaced). Uniform vectors
+    are the EASY case for random-hyperplane LSH and IVF; real web
+    embeddings are clustered with a hot head and low intrinsic dimension —
+    this fixture pins the recall floors under that shape instead.
+
+    Construction (pure Columns, no UDF, no randomness source):
+    - u = md5-uniform(vec_id); cluster c = floor(16 * u^3): inverse-CDF of
+      a cubic gives heavy-tailed sizes (cluster 0 holds ~40% of vectors —
+      the hot-cluster case that floods one LSH bucket / IVF cell).
+    - dim d value = centroid(c, d mod 8) + 0.5*pv + 0.3*noise(vec_id, d):
+      the centroid repeats every 8 dims (low intrinsic dimensionality) and
+      pv is a per-VECTOR scalar added to every dim (correlated dimensions —
+      the component that defeats axis-ish hyperplanes).
+    """
+    vid = F.col("vec_id")
+    dims = F.size(F.col("embedding"))
+    c = F.floor(F.lit(16) * F.pow(_h01("zc", vid), F.lit(3.0))).cast("int")
+    pv = _h01("pv", vid) - 0.5
+    vec = F.transform(
+        F.sequence(F.lit(0), dims - 1),
+        lambda d: (
+            (_h01("cent", c, d % 8) - 0.5)
+            + 0.5 * pv
+            + 0.3 * (_h01("noise", vid, d) - 0.5)
+        ),
+    )
+    return e.select("vec_id", vec.alias("embedding"))
+
+
+# Floors re-pinned from measurement on the skewed fixture (sf0.01/sf0.1:
+# LSH 1.0/1.0, IVF 1.0/1.0, hard-neg 0.94/0.98, crossmodal 0.95/0.97 mean
+# recall@5): clustering HELPS hyperplane-LSH recall (true neighbors share
+# a cluster and collide) — the uniform fixture remains the hard-recall
+# case (floors 0.5/0.7 there); what skew actually threatens is hot-bucket
+# candidate blowup, which is bounded by construction (banded signatures,
+# per-table dedup) and exercised by these same rows since cluster 0 holds
+# ~40% of vectors. Floors here are 0.8 — failing means a real regression,
+# not fixture noise.
+@_q("ann_lsh_recall_skew", _SQL_RECALL_GATE.format(floor=0.8))
+def ann_lsh_recall_skew_q(spark, sf_dir):
+    e = _skew_vecs(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return _recall_gate(
+        lsh_bucket_topk(e, q, k=5, n_planes=6), cosine_topk(e, q, k=5), q,
+        k=5, floor=0.8,
+    )
+
+
+@_q("ann_ivf_recall_skew", _SQL_RECALL_GATE.format(floor=0.8))
+def ann_ivf_recall_skew_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import ivf_topk
+
+    e = _skew_vecs(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return _recall_gate(
+        ivf_topk(e, q, k=5, n_centroids=16, n_probe=8), cosine_topk(e, q, k=5),
+        q, k=5, floor=0.8,
+    )
+
+
+# HLL gate under heavy-tail group sizes: the uniform-lang grouping gave
+# every group a similar distinct count; here groups come from a cubic-CDF
+# Zipf assignment (group 0 holds half the corpus), so the sketch is
+# checked both on the fat head (large distinct set) and the sparse tail.
+# The group assignment is md5-derived and mirrored EXACTLY in the oracle;
+# the exact distinct counts are checked value-for-value, the sketch flag
+# Spark-side.
+@_q(
+    "hll_count_gate_skew",
+    f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             CAST(floor(8 * pow({_sql_h01("zg", "CAST(doc_id AS VARCHAR)")}, 3))
+                  AS INT) AS grp
+      FROM documents),
+    toks AS (SELECT grp, unnest({_SQL_WORDS}) AS w FROM g)
+    SELECT grp, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM toks WHERE w <> '' GROUP BY grp
+    """,
+)
+def hll_count_gate_skew_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.dedup import (
+        normalized_words,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.floor(
+        F.lit(8) * F.pow(_h01("zg", F.col("doc_id")), F.lit(3.0))
+    ).cast("int")
+    toks = d.select(
+        grp.alias("grp"), F.explode(normalized_words("text")).alias("w")
+    ).filter("w <> ''")
+    agg = toks.groupBy("grp").agg(
+        F.count_distinct("w").alias("exact_distinct"),
+        F.approx_count_distinct("w", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "grp",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+# Quantile-sketch gate under a heavy-tail VALUE distribution (Pareto-ish
+# inverse-CDF values, Zipf group sizes): percentile_approx must track the
+# exact nearest-rank quantile where the tail is sparse and the groups are
+# unbalanced — the shape that breaks under-provisioned sketches. Exact
+# p50/p95 are checked value-for-value vs DuckDB; the sketch flags are
+# Spark-side (10% band at p95 — the sparse-tail order-stat gap at the
+# smallest group is the quantity under test, not float noise).
+@_q(
+    "quantile_sketch_gate_skew",
+    f"""
+    WITH v AS (
+      SELECT CAST(floor(8 * pow({_sql_h01("zg", "CAST(doc_id AS VARCHAR)")}, 3))
+                  AS INT) AS grp,
+             CAST(floor(10 + 990 / (1.05 - {_sql_h01("qv", "CAST(doc_id AS VARCHAR)")}))
+                  AS BIGINT) AS x
+      FROM documents),
+    r AS (SELECT grp, x,
+                 row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM v),
+    ex AS (SELECT grp,
+                  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                                THEN x END) AS BIGINT) AS exact_p50,
+                  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                                THEN x END) AS BIGINT) AS exact_p95
+           FROM r GROUP BY grp)
+    SELECT grp, exact_p50, exact_p95, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM ex
+    """,
+)
+def quantile_sketch_gate_skew_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grp = F.floor(
+        F.lit(8) * F.pow(_h01("zg", F.col("doc_id")), F.lit(3.0))
+    ).cast("int")
+    x = F.floor(
+        F.lit(10) + F.lit(990) / (F.lit(1.05) - _h01("qv", F.col("doc_id")))
+    ).cast("long")
+    v = d.select(grp.alias("grp"), x.alias("x"))
+    w = Window.partitionBy("grp").orderBy("x")
+    r = v.select(
+        "grp", "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    exact = r.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("x"))
+        ).cast("long").alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("x"))
+        ).cast("long").alias("exact_p95"),
+    )
+    approx = v.groupBy("grp").agg(
+        F.percentile_approx("x", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("x", 0.95, 10000).alias("_a95"),
+    )
+    return exact.join(approx, "grp").select(
+        "grp", "exact_p50", "exact_p95",
+        (
+            F.abs(F.col("_a50") - F.col("exact_p50"))
+            <= 0.05 * F.col("exact_p50")
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("_a95") - F.col("exact_p95"))
+            <= 0.10 * F.col("exact_p95")
+        ).alias("p95_ok"),
+    )
+
+
+def _pair_vecs(e: DataFrame):
+    """(image, caption) embedding frames keyed by pair_id — the shared
+    fixture of the contrastive-eval queries (even vec_ids are images, odd
+    are captions of the same pair)."""
+    img = e.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("vec_id"), "embedding"
+    )
+    cap = e.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("vec_id"), "embedding"
+    )
+    return img, cap
+
+
+# Beyond-batch leg of hard_negative_mine (r4 VERDICT #5): the exact
+# variant broadcasts batch-bounded anchors; this one rides lsh_bucket_topk
+# so the anchor side scales past ~10^4 — candidates come from banded
+# signature collisions (shuffle ~ n_tables * rows), never a cross join.
+# Approximate by construction -> rows-only; the companion recall row below
+# is the driver-visible quality gate.
+@_q("hard_negative_mine_lsh")
+def hard_negative_mine_lsh_q(spark, sf_dir):
+    img, cap = _pair_vecs(_t(spark, sf_dir, "embeddings"))
+    return lsh_bucket_topk(cap, img, k=5, n_planes=4, n_tables=24).select(
+        F.col("query_id").alias("anchor_pair_id"),
+        F.col("neighbor_id").alias("neg_pair_id"),
+        "rank", "score",
+    )
+
+
+@_q(
+    "hard_negative_recall",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+           0.8 AS floor, true AS recall_ge_floor
+    FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def hard_negative_recall_q(spark, sf_dir):
+    img, cap = _pair_vecs(_t(spark, sf_dir, "embeddings"))
+    return _recall_gate(
+        lsh_bucket_topk(cap, img, k=5, n_planes=4, n_tables=24),
+        cosine_topk(cap, img, k=5),
+        img, k=5, floor=0.8,
+    )
+
+
+# Beyond-batch leg of crossmodal_recall (r4 VERDICT #5): caption->image
+# retrieval via the LSH index instead of the anchor-bounded cross join.
+# Gated as recall@5 of the LSH retrieval AGAINST the exact retrieval
+# (identity ground truth is meaningless on the synthetic uncorrelated
+# pair embeddings — agreement with exact is the quantity an index owes).
+# Caption query ids are offset out of the image-id range so the
+# self-match guard in both operators excludes nothing, consistently.
+@_q(
+    "crossmodal_recall_lsh",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+           0.8 AS floor, true AS recall_ge_floor
+    FROM embeddings WHERE vec_id % 2 = 1
+    """,
+)
+def crossmodal_recall_lsh_q(spark, sf_dir):
+    img, cap = _pair_vecs(_t(spark, sf_dir, "embeddings"))
+    off = 1 << 40
+    cap_q = cap.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+    return _recall_gate(
+        lsh_bucket_topk(img, cap_q, k=5, n_planes=4, n_tables=24),
+        cosine_topk(img, cap_q, k=5),
+        cap_q, k=5, floor=0.8,
+    )
+
+
 #: Driver-visible ordering (r4 VERDICT #1): the driver's correctness window
 #: is ~50 rows/round while the registry holds 167+, so plain newest-first
 #: starves older queries of driver rows forever.  DRIVER_SEEN.json (committed,
@@ -7467,6 +7746,11 @@ def _driver_seen() -> set:
 
 
 _NEWEST_FIRST = [
+    # round 5
+    "ann_lsh_recall_skew", "ann_ivf_recall_skew",
+    "hll_count_gate_skew", "quantile_sketch_gate_skew",
+    "hard_negative_mine_lsh", "hard_negative_recall",
+    "crossmodal_recall_lsh",
     # round 4
     "crossmodal_recall",
     "corpus_release_diff",
