@@ -472,6 +472,92 @@ def run_scaling(ceiling: dict | None = None) -> dict:
     return res
 
 
+#: 480k-URL epochs over the 1M-seed frontier — the production-epoch-size
+#: leg of the scaling story (r4 VERDICT #2c): the ~7 s/epoch job-wave floor
+#: that dominates 120k epochs at 16 cores amortizes away at 4x the epoch,
+#: so THIS pair is the engine's honest 4->16 number; the 120k pair above
+#: stays as the floor-sensitivity context.
+BENCH_SEEDS_1M = "/tmp/spark_graft_bench_seeds_1m.parquet"
+LARGE_EPOCH_ARGS = ["--epochs", "1", "--epoch-duration", "4800",
+                    "--warmup-batch", "5000", "--batch-size", "480000",
+                    "--fetcher", "synthetic", "--seeds", BENCH_SEEDS_1M]
+
+
+def run_large_epoch() -> dict:
+    if not os.path.exists(BENCH_SEEDS_1M):
+        from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet
+
+        gen_seed_parquet(BENCH_SEEDS_1M, 1_000_000, n_domains=8_000)
+    repo = os.path.dirname(os.path.abspath(__file__)) or "."
+    runs: dict[int, list] = {4: [], 16: []}
+    best_canary = 0.0
+
+    def attempt(cpus: int) -> dict:
+        nonlocal best_canary
+        before = quick_canary()
+        cmd = [sys.executable, "-m", "etherscan_contract_crawler_spark.bench_crawl",
+               "--cpus", str(cpus), *LARGE_EPOCH_ARGS]
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1500, cwd=repo)
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            r = json.loads(line[-1]) if line else {"error": p.stderr[-300:]}
+        except subprocess.TimeoutExpired:
+            r = {"error": "timeout"}
+        after = quick_canary()
+        r["window_canary_urls_per_sec"] = round(min(before, after), 1)
+        best_canary = max(best_canary, r["window_canary_urls_per_sec"])
+        runs[cpus].append(r)
+        return r
+
+    def kept(cpus: int) -> dict:
+        ok = [r for r in runs[cpus] if "urls_per_sec" in r]
+        if not ok:
+            return runs[cpus][-1]
+        clean = [
+            r for r in ok
+            if not best_canary
+            or r["window_canary_urls_per_sec"] / best_canary >= CLEAN_WINDOW
+        ]
+        return max(clean or ok, key=lambda r: r["urls_per_sec"])
+
+    for cpus in (4, 16):
+        attempt(cpus)
+    # bounded retry: chase one clean window per level (the 480k leg is too
+    # expensive for the full retry budget of the 120k machinery)
+    for _ in range(2):
+        dirty = [
+            c for c in (4, 16)
+            if best_canary
+            and kept(c).get("window_canary_urls_per_sec", 0) / best_canary
+            < CLEAN_WINDOW
+        ]
+        if not dirty:
+            break
+        attempt(dirty[0])
+    out: dict = {"batch_size": 480000, "seeds": "1M"}
+    for c in (4, 16):
+        k = kept(c)
+        out[f"local{c}"] = {
+            kk: k.get(kk)
+            for kk in ("urls", "wall_s", "urls_per_sec",
+                       "window_canary_urls_per_sec")
+        }
+        out[f"local{c}"]["clean_window"] = bool(
+            best_canary
+            and k.get("window_canary_urls_per_sec", 0) / best_canary
+            >= CLEAN_WINDOW
+        )
+        out[f"local{c}"]["n_runs"] = len(runs[c])
+    try:
+        out["scaling_efficiency_4_to_16_480k"] = round(
+            kept(16)["urls_per_sec"] / kept(4)["urls_per_sec"] / 4.0, 3
+        )
+    except Exception:
+        out["scaling_efficiency_4_to_16_480k"] = None
+    return out
+
+
 def run_loop() -> dict:
     """Full streaming->batch loop probe (r3 VERDICT #6): the 250k-seed bench
     frontier PLUS a streamed block of 5k discoveries drained through the
@@ -521,6 +607,14 @@ def _compact_scaling(crawl: dict) -> dict:
                            "discoveries_per_epoch", "error")
                 if kk in v
             }
+        elif k == "large_epoch_480k":
+            out[k] = {"eff_4_to_16": v.get("scaling_efficiency_4_to_16_480k")}
+            for lvl in ("local4", "local16"):
+                lv = v.get(lvl, {})
+                out[k][lvl] = {
+                    kk: lv.get(kk)
+                    for kk in ("urls_per_sec", "wall_s", "clean_window")
+                }
         else:
             out[k] = v
     return out
@@ -579,6 +673,7 @@ def main():
     if ceiling is not None:
         crawl["single_box_mp_ceiling"] = ceiling
     if not SKIP_SCALING:
+        crawl["large_epoch_480k"] = run_large_epoch()
         crawl["loop"] = run_loop()
     total = round(time.time() - t0, 2)
     summary = {
@@ -590,6 +685,35 @@ def main():
         "crawl_scaling": _compact_scaling(crawl),
         "detail_file": "BENCH_DETAIL.json",
     }
+    # committed side artifacts from the round's long-form runs (sf1 stress
+    # sweep: tools/bench_sf1.py; standalone-cluster pair:
+    # tools/standalone_bench.sh) — merged compactly so the driver-visible
+    # line carries their headline verdicts without re-running them here
+    repo_dir = os.path.dirname(os.path.abspath(__file__)) or "."
+    try:
+        with open(os.path.join(repo_dir, "BENCH_SF1.json")) as f:
+            sf1 = json.load(f)
+        summary["sf1"] = {
+            "n_queries": len(sf1.get("queries", {})),
+            "flagged_over_12x": sf1.get("flagged", []),
+            "max_ratio": max(
+                (v.get("ratio") or 0) for v in sf1.get("queries", {}).values()
+            ),
+            "detail_file": "BENCH_SF1.json",
+        }
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(repo_dir, "BENCH_STANDALONE.json")) as f:
+            st = json.load(f)
+        summary["standalone"] = {
+            k: st.get(k)
+            for k in ("urls_per_sec_2exec", "urls_per_sec_8exec",
+                      "scaling_efficiency_n_to_4n", "batch_size")
+            if k in st
+        }
+    except Exception:
+        pass
     # full per-run detail (all_runs, ceiling method, loop stderr) — committed
     # alongside, so per-query timings + every attempt survive even if the
     # driver's tail capture clips stdout

@@ -30,8 +30,14 @@ def get_spark(
     gc_opts = (
         f"-XX:+UseParallelGC -XX:ParallelGCThreads={min(cpus, 8)} -Xmn2g"
     )
+    # SPARK_GRAFT_MASTER overrides local[N] — used for the standalone-mode
+    # scaling evidence (spark://host:7077, real multi-process executors with
+    # network shuffle on the same box; r4 VERDICT #6). `cpus` then means
+    # TOTAL cores requested from the cluster (spark.cores.max) and the
+    # executor JVMs get the same throughput-GC flags as the local driver.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -61,6 +67,22 @@ def get_spark(
         # between jobs only thrashes locality — so keep FIFO there.
         .config("spark.scheduler.mode", "FAIR" if cpus > 1 else "FIFO")
     )
+    if master.startswith("spark://"):
+        builder = (
+            builder.config("spark.cores.max", str(cpus))
+            .config(
+                "spark.executor.cores",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"),
+            )
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
+            )
+            .config("spark.executor.extraJavaOptions", gc_opts)
+            # Arrow batches stream python->JVM over the same box; keep the
+            # default shuffle codec — the point of this mode is to pay real
+            # serialization + network shuffle between executor processes.
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # the engine's concurrent commit wave tags per-thread scheduler pools
