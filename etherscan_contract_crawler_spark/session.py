@@ -68,8 +68,19 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR" if cpus > 1 else "FIFO")
     )
     if master.startswith("spark://"):
+        import sys
+
+        # standalone executors get no cwd-on-sys.path: ship the package by
+        # path (same box) and pin the worker python to this interpreter —
+        # on a real multi-host cluster this is the --py-files zip instead
+        # (tools/submit.sh builds it)
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
         builder = (
-            builder.config("spark.cores.max", str(cpus))
+            builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
+            .config("spark.pyspark.python", sys.executable)
+            .config("spark.cores.max", str(cpus))
             .config(
                 "spark.executor.cores",
                 os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"),

@@ -19,10 +19,13 @@ SEEDS=/tmp/spark_graft_bench_seeds_250k.parquet
 [ -e "$SEEDS" ] || python -c "from etherscan_contract_crawler_spark.sources.synthetic import gen_seed_parquet; gen_seed_parquet('$SEEDS', 250_000, n_domains=8_000)"
 
 cleanup() {
-  "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
+  SPARK_WORKER_INSTANCES=2 "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
   "$SPARK_HOME/sbin/stop-master.sh" >/dev/null 2>&1 || true
+  pkill -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
+  pkill -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
 }
 trap cleanup EXIT
+cleanup  # clear any stale daemons from a previous aborted run
 
 "$SPARK_HOME/sbin/start-master.sh" --host 127.0.0.1 --port 7077 --webui-port 8091
 SPARK_WORKER_INSTANCES=2 "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
