@@ -7726,6 +7726,184 @@ def crossmodal_recall_lsh_q(spark, sf_dir):
     )
 
 
+# Small-file compaction planning (storage/maintenance.py
+# rewrite_data_files_plan): the Iceberg rewrite_data_files analog — files
+# under the small threshold pack greedily into ~target-sized bins per
+# table partition (one window exchange; the per-bin rollup rides the same
+# partitioning); singleton bins don't rewrite; big files pass through
+# with a NULL bin. The fixture mixes both branches and bin-boundary runs.
+@_q(
+    "compaction_plan",
+    """
+    WITH files AS (
+      SELECT CAST(p_partkey % 16 AS INT) AS part_id, p_partkey AS file_id,
+             CAST(CASE WHEN p_partkey % 7 = 0 THEN 50000
+                       ELSE 1000 + (p_partkey * 7919) % 30000 END AS BIGINT)
+               AS n_bytes
+      FROM part),
+    cand AS (SELECT * FROM files WHERE n_bytes < 32000),
+    c AS (SELECT *, COALESCE(SUM(n_bytes) OVER (
+              PARTITION BY part_id ORDER BY file_id, n_bytes
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM cand),
+    b AS (SELECT part_id, file_id, n_bytes,
+                 CAST(cum // 64000 AS BIGINT) AS bin FROM c),
+    p AS (SELECT *, count(*) OVER (PARTITION BY part_id, bin) >= 2
+                      AS do_rewrite FROM b)
+    SELECT part_id, file_id, n_bytes, bin, do_rewrite FROM p
+    UNION ALL
+    SELECT part_id, file_id, n_bytes, CAST(NULL AS BIGINT) AS bin,
+           FALSE AS do_rewrite
+    FROM files WHERE n_bytes >= 32000
+    """,
+)
+def compaction_plan_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.storage.maintenance import (
+        rewrite_data_files_plan,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    files = p.select(
+        (pk % 16).cast("int").alias("part_id"),
+        pk.alias("file_id"),
+        F.when(pk % 7 == 0, F.lit(50000))
+        .otherwise(F.lit(1000) + (pk * 7919) % 30000)
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    return rewrite_data_files_plan(
+        files, target_bytes=64000, small_threshold=32000, min_input_files=2
+    )
+
+
+# Snapshot retention planning (storage/maintenance.py
+# snapshot_expiry_plan): the expire_snapshots analog — keep the newest
+# retain_last, everything younger than the retention window relative to
+# the newest snapshot (data-derived now: deterministic, replayable), and
+# every ref head; reason reports the strongest rule. History-sized
+# window, bounded by retention itself.
+@_q(
+    "snapshot_expiry",
+    """
+    WITH s AS (
+      SELECT o_orderkey AS snapshot_id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS committed_at_s,
+             o_orderkey % 97 = 0 AS is_ref_head
+      FROM orders WHERE o_orderkey % 67 = 0),
+    r AS (SELECT snapshot_id, committed_at_s, is_ref_head,
+                 row_number() OVER (ORDER BY committed_at_s DESC,
+                                    snapshot_id DESC) AS age_rank,
+                 committed_at_s >= max(committed_at_s) OVER () - 31536000
+                   AS recent
+          FROM s),
+    f AS (SELECT snapshot_id, committed_at_s, CAST(age_rank AS INT) AS age_rank,
+                 CASE WHEN is_ref_head THEN 'head'
+                      WHEN age_rank <= 5 THEN 'retain_last'
+                      WHEN recent THEN 'recent'
+                      ELSE 'expire' END AS reason
+          FROM r)
+    SELECT snapshot_id, committed_at_s, age_rank,
+           reason <> 'expire' AS keep, reason
+    FROM f
+    """,
+)
+def snapshot_expiry_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.storage.maintenance import (
+        snapshot_expiry_plan,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 67 == 0)
+    snaps = o.select(
+        F.col("o_orderkey").alias("snapshot_id"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("committed_at_s"),
+        (F.col("o_orderkey") % 97 == 0).alias("is_ref_head"),
+    )
+    return snapshot_expiry_plan(snaps, retain_last=5, retain_s=365 * 24 * 3600)
+
+
+# CCNet-style LM perplexity filter (analytics/text.py
+# lm_perplexity_filter): bigram add-one model counted over the
+# deterministic reference slice (doc_id % 10 == 0), every document scored
+# by mean -ln p(w2|w1), high-perplexity docs flagged. Count tables are
+# vocabulary-sized (Heaps), the scoring join is the standard n-gram
+# inverted-index shuffle. Per-bigram values rounded before the mean so
+# the float result is partition-order-independent (matches the oracle).
+@_q(
+    "lm_perplexity",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    wf AS (SELECT * FROM w WHERE len(ws) >= 2),
+    b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS g
+        FROM wf)),
+    ref AS (SELECT * FROM b WHERE doc_id % 10 = 0),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM ref GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM ref GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM ref UNION ALL SELECT w2 FROM ref)),
+    s AS (SELECT b.doc_id,
+                 round(-ln((COALESCE(c2.c2, 0) + 1.0)
+                           / (COALESCE(c1.c1, 0) + v.v)), 6) AS nlp
+          FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(avg(nlp), 4) AS neg_logp
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, neg_logp, neg_logp <= 3.5 AS keep FROM a
+    """,
+)
+def lm_perplexity_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        lm_perplexity_filter,
+    )
+
+    return lm_perplexity_filter(
+        _t(spark, sf_dir, "documents"), ref_mod=10, max_neg_logp=3.5
+    )
+
+
+# Curriculum training order (analytics/sampling.py curriculum_order):
+# easy-to-hard value-equidistant difficulty buckets with a deterministic
+# md5 within-bucket shuffle and gap-free global positions from a
+# buckets-sized base rollup — NO corpus-sized global window in the plan.
+@_q(
+    "curriculum_order",
+    """
+    WITH src AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS difficulty
+                 FROM documents),
+    rng AS (SELECT min(difficulty) AS mn, max(difficulty) AS mx FROM src),
+    bkt AS (SELECT doc_id, difficulty,
+                   CAST(floor(8 * (difficulty - mn) / (mx - mn + 1)) AS INT)
+                     AS bucket
+            FROM src CROSS JOIN rng),
+    pos AS (SELECT *, row_number() OVER (
+                PARTITION BY bucket
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS p
+            FROM bkt),
+    sizes AS (SELECT bucket, count(*) AS n FROM pos GROUP BY bucket),
+    bases AS (SELECT bucket, COALESCE(SUM(n) OVER (
+                  ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS base
+              FROM sizes)
+    SELECT pos.doc_id, pos.difficulty, pos.bucket,
+           CAST(bases.base + pos.p AS BIGINT) AS position
+    FROM pos JOIN bases USING (bucket)
+    """,
+)
+def curriculum_order_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.sampling import (
+        curriculum_order,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("difficulty")
+    )
+    return curriculum_order(d, n_buckets=8)
+
+
 #: Driver-visible ordering (r4 VERDICT #1): the driver's correctness window
 #: is ~50 rows/round while the registry holds 167+, so plain newest-first
 #: starves older queries of driver rows forever.  DRIVER_SEEN.json (committed,
@@ -7747,6 +7925,8 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
+    "compaction_plan", "snapshot_expiry", "lm_perplexity",
+    "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",
     "hll_count_gate_skew", "quantile_sketch_gate_skew",
     "hard_negative_mine_lsh", "hard_negative_recall",

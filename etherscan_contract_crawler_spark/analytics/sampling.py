@@ -253,3 +253,68 @@ def mixture_plan(
         rate.alias("sample_rate"),
         repeat.cast("long").alias("repeat_factor"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    doc_col: str = "doc_id",
+    difficulty_col: str = "difficulty",
+) -> DataFrame:
+    """Curriculum training order: easy-to-hard bucket progression with a
+    deterministic within-bucket shuffle — the ordering a curriculum /
+    length-warmup training run feeds its data loader.
+
+    Buckets are VALUE-equidistant over the observed difficulty range
+    (min/max from a broadcast 1-row agg): ``bucket = floor(n_buckets *
+    (d - min) / (max - min + 1))`` — rank-balanced binning would need the
+    global sort this operator exists to avoid. Within a bucket, order is
+    ``(md5(doc_id), doc_id)`` — a deterministic shuffle, identical under
+    any partitioning. The global position is ``bucket_base +
+    pos_in_bucket`` where the bases come from a buckets-sized cumulative
+    rollup — so NO corpus-sized global window exists in the plan: the
+    only corpus exchange is the hash partition on ``bucket``
+    (n_buckets-way; callers wanting more write-parallelism pick a larger
+    n_buckets, which is also the curriculum granularity knob).
+
+    Returns ``(doc_id, difficulty, bucket, position)`` with ``position``
+    a gap-free 1-based total order.
+    """
+    d = F.col(difficulty_col).cast("long")
+    src = docs.select(F.col(doc_col).alias("doc_id"), d.alias("difficulty"))
+    rng = src.agg(
+        F.min("difficulty").alias("_mn"), F.max("difficulty").alias("_mx")
+    )
+    bucketed = src.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "difficulty",
+        F.floor(
+            F.lit(n_buckets)
+            * (F.col("difficulty") - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn") + 1)
+        ).cast("int").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    pos = bucketed.withColumn("_p", F.row_number().over(w))
+    sizes = pos.groupBy("bucket").agg(F.count("*").alias("_n"))
+    bases = sizes.select(
+        "bucket",
+        (
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_base"),
+    )
+    return pos.join(F.broadcast(bases), "bucket").select(
+        "doc_id",
+        "difficulty",
+        "bucket",
+        (F.col("_base") + F.col("_p")).cast("long").alias("position"),
+    )

@@ -939,3 +939,77 @@ def bpe_merge_mine(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(int(top_k))
     )
+
+
+def lm_perplexity_filter(
+    docs: DataFrame,
+    ref_mod: int = 10,
+    max_neg_logp: float = 9.0,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality filter, self-trained: score every document's
+    bigrams against an add-one-smoothed bigram model counted over a
+    deterministic REFERENCE slice of the corpus (``doc_id % ref_mod == 0``
+    — CCNet trains on Wikipedia; the synthetic analog is a fixed clean
+    split), and flag documents whose mean negative log-probability exceeds
+    ``max_neg_logp`` (high perplexity = unlike the reference = drop
+    candidate). Scoring: mean over doc bigrams of
+    ``-ln((c2(w1,w2)+1) / (c1(w1)+V))`` with V = reference vocabulary size.
+
+    Returns ``(doc_id, n_bigrams, neg_logp, keep)`` for every doc with at
+    least one bigram. ``neg_logp`` is the mean of PER-BIGRAM values rounded
+    to 6 dp, final mean rounded to 4 dp — double summation error
+    (~1e-13 * n) cannot reach the rounded digit, so the result is
+    partition-order-independent and the DuckDB oracle matches exactly.
+
+    Scale shape: the count tables are VOCABULARY-sized (Heaps' law —
+    millions of rows at 100 TB, not corpus-sized); the scoring join
+    shuffles the corpus bigram stream on (w1, w2) — the standard
+    inverted-index join every n-gram operator here pays once. V rides a
+    broadcast single-row cross join. No UDFs, no driver collects.
+    """
+    words = docs.select(
+        F.col(doc_col).alias("doc_id"), normalized_words(text_col).alias("_w")
+    ).filter(F.size("_w") >= 2)
+    bi = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i + 1).alias("w1"),
+                    F.element_at(F.col("_w"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    ref = bi.filter(F.col("doc_id") % ref_mod == 0)
+    c2 = ref.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = ref.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = ref.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    scored = (
+        bi.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ),
+                6,
+            ).alias("_nlp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_nlp"), 4).alias("neg_logp"),
+    )
+    return agg.select(
+        "doc_id", "n_bigrams", "neg_logp",
+        (F.col("neg_logp") <= max_neg_logp).alias("keep"),
+    )

@@ -117,13 +117,26 @@ def test_recrawl_single_exchange(spark):  # noqa: F811
 
 def test_query_registry_consistent():
     """Every _NEWEST_FIRST name is registered, every oracle has a query,
-    and the newest-first ordering is a permutation prefix of queries()."""
+    and queries() puts every never-driver-checked query (DRIVER_SEEN.json)
+    ahead of every driver-checked one, preserving _NEWEST_FIRST's relative
+    order within each class (r4 VERDICT #1 rotation)."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     assert set(entry_mod._NEWEST_FIRST) <= set(qs)
     assert set(entry_mod.oracle_sql()) <= set(qs)
-    assert list(qs)[: len(entry_mod._NEWEST_FIRST)] == entry_mod._NEWEST_FIRST
+    seen = entry_mod._driver_seen()
+    assert seen, "DRIVER_SEEN.json must exist and be non-empty"
+    names = list(qs)
+    first_seen_idx = min(i for i, n in enumerate(names) if n in seen)
+    assert all(n in seen for n in names[first_seen_idx:]), (
+        "a never-driver-checked query sorted after a driver-checked one"
+    )
+    nf = [n for n in entry_mod._NEWEST_FIRST if n in qs]
+    for cls in (lambda n: n not in seen, lambda n: n in seen):
+        sub = [n for n in names if cls(n) and n in set(nf)]
+        want = [n for n in nf if cls(n)]
+        assert sub == want, "newest-first relative order broken within class"
     # rows-only by design stays exactly this set (approximate ANN results +
     # binary image codecs — none SQL-expressible; everything else must
     # carry a DuckDB oracle)
@@ -131,4 +144,4 @@ def test_query_registry_consistent():
     assert no_oracle == {"ann_lsh_topk", "ann_ivf_topk",
                          "images_decode_validate", "image_channel_stats",
                          "image_blur_gate", "image_curation",
-                         "image_watermark_gate"}
+                         "image_watermark_gate", "hard_negative_mine_lsh"}

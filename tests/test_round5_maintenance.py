@@ -1,0 +1,119 @@
+"""Pins for the round-5 operator batch: Iceberg-maintenance planning
+(compaction bins, snapshot expiry), the self-trained bigram LM perplexity
+filter, and curriculum ordering."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etherscan_contract_crawler_spark.analytics.sampling import curriculum_order
+from etherscan_contract_crawler_spark.analytics.text import lm_perplexity_filter
+from etherscan_contract_crawler_spark.storage.maintenance import (
+    rewrite_data_files_plan,
+    snapshot_expiry_plan,
+)
+
+
+def test_compaction_greedy_bins_and_passthrough(spark):
+    rows = [
+        # partition 0: three small files -> bin 0 (10+10), bin 1 (10)
+        (0, 1, 10), (0, 2, 10), (0, 3, 10),
+        # partition 0: one big file -> passthrough
+        (0, 4, 100),
+        # partition 1: a lone small file -> bin 0, but no rewrite
+        (1, 5, 10),
+    ]
+    df = spark.createDataFrame(rows, ["part_id", "file_id", "n_bytes"])
+    out = {
+        r["file_id"]: r
+        for r in rewrite_data_files_plan(
+            df, target_bytes=20, small_threshold=50, min_input_files=2
+        ).collect()
+    }
+    assert (out[1]["bin"], out[2]["bin"], out[3]["bin"]) == (0, 0, 1)
+    assert out[1]["do_rewrite"] and out[2]["do_rewrite"]
+    assert not out[3]["do_rewrite"]  # singleton bin
+    assert out[4]["bin"] is None and not out[4]["do_rewrite"]  # big file
+    assert not out[5]["do_rewrite"]  # lone small file in its partition
+
+
+def test_compaction_partition_merge_invariance(spark):
+    rows = [(i % 3, i, 5 + i % 7) for i in range(60)]
+    cols = ["part_id", "file_id", "n_bytes"]
+
+    def run(n):
+        return sorted(
+            map(tuple, rewrite_data_files_plan(
+                spark.createDataFrame(rows, cols).repartition(n),
+                target_bytes=25, small_threshold=100,
+            ).collect())
+        )
+
+    assert run(1) == run(13)
+
+
+def test_snapshot_expiry_reason_precedence_and_recent(spark):
+    # ts in seconds; newest = 1000; retention window 100 s
+    rows = [
+        (1, 1000, False),  # retain_last
+        (2, 990, True),    # head wins over retain_last
+        (3, 980, False), (4, 970, False), (5, 960, False),  # retain_last
+        (6, 950, False),   # rank 6 but within 100 s of 1000 -> recent
+        (7, 800, False),   # expire
+    ]
+    df = spark.createDataFrame(rows, ["snapshot_id", "committed_at_s", "is_ref_head"])
+    out = {
+        r["snapshot_id"]: r
+        for r in snapshot_expiry_plan(df, retain_last=5, retain_s=100).collect()
+    }
+    assert out[2]["reason"] == "head"
+    assert out[1]["reason"] == "retain_last"
+    assert out[6]["reason"] == "recent" and out[6]["keep"]
+    assert out[7]["reason"] == "expire" and not out[7]["keep"]
+    assert out[7]["age_rank"] == 7
+
+
+def test_lm_perplexity_hand_value_and_split(spark):
+    # reference slice = doc_id % 10 == 0 -> only doc 0 ("a b a b"):
+    # bigrams a->b (x2), b->a (x1); c1: a=2, b=1; V = 2
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity_filter(docs, max_neg_logp=1.0).collect()}
+    # doc 1: one bigram a->b: -ln((2+1)/(2+2)) = ln(4/3)
+    assert abs(out[1]["neg_logp"] - round(math.log(4 / 3), 4)) < 1e-9
+    # doc 2: unseen bigram z->z: -ln((0+1)/(0+2)) = ln 2
+    assert abs(out[2]["neg_logp"] - round(math.log(2), 4)) < 1e-9
+    assert out[1]["keep"] is True and out[2]["keep"] is True
+    strict = {r["doc_id"]: r for r in lm_perplexity_filter(docs, max_neg_logp=0.5).collect()}
+    assert strict[1]["keep"] is True and strict[2]["keep"] is False
+
+
+def test_curriculum_positions_gapfree_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(200)], ["doc_id", "difficulty"]
+    )
+    out = curriculum_order(docs, n_buckets=4).collect()
+    positions = sorted(r["position"] for r in out)
+    assert positions == list(range(1, 201))
+    # every doc in a lower bucket sits before every doc in a higher bucket
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["position"])
+    buckets = sorted(by_bucket)
+    for a, b in zip(buckets, buckets[1:]):
+        assert max(by_bucket[a]) < min(by_bucket[b])
+    # bucket is monotone in difficulty bands
+    for r in out:
+        assert r["bucket"] == (4 * r["difficulty"]) // 100
+
+
+def test_curriculum_repartition_invariance(spark):
+    rows = [(i, (i * 13) % 50) for i in range(120)]
+
+    def run(n):
+        df = spark.createDataFrame(rows, ["doc_id", "difficulty"]).repartition(n)
+        return sorted(map(tuple, curriculum_order(df, n_buckets=5).collect()))
+
+    assert run(1) == run(11)
