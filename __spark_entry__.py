@@ -7904,6 +7904,49 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# Rendezvous (HRW) slot assignment (operators/politeness.py
+# rendezvous_assign): the executor-affinity layer — a domain's fetch
+# state (connection pool, robots cache, politeness window) lives on one
+# slot, and rescaling 16 -> 20 slots must move only ~(20-16)/20 of the
+# domains, not ~100% like hash-mod. md5-derived weights mirrored exactly
+# in the oracle; zero shuffles past the distinct.
+@_q(
+    "rendezvous_assign",
+    """
+    WITH d AS (SELECT DISTINCT 'd' || CAST(o_custkey % 2000 AS VARCHAR)
+                 AS domain FROM orders),
+    h AS (SELECT domain,
+            list_transform(range(0, 20), s ->
+              CAST(('0x' || substr(md5(concat_ws('|', domain,
+                     CAST(s AS VARCHAR), '11')), 1, 15)) AS BIGINT)) AS h20,
+            list_transform(range(0, 16), s ->
+              CAST(('0x' || substr(md5(concat_ws('|', domain,
+                     CAST(s AS VARCHAR), '11')), 1, 15)) AS BIGINT)) AS h16
+          FROM d)
+    SELECT domain,
+           CAST(list_indexof(h20, list_aggregate(h20, 'max')) - 1 AS INT)
+             AS slot,
+           CAST(list_indexof(h16, list_aggregate(h16, 'max')) - 1 AS INT)
+             AS prev_slot,
+           list_indexof(h20, list_aggregate(h20, 'max'))
+             <> list_indexof(h16, list_aggregate(h16, 'max')) AS moved
+    FROM h
+    """,
+)
+def rendezvous_assign_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        rendezvous_assign,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    domains = o.select(
+        F.concat(F.lit("d"), (F.col("o_custkey") % 2000).cast("string")).alias(
+            "domain"
+        )
+    ).distinct()
+    return rendezvous_assign(domains, n_slots=20, prev_slots=16, seed=11)
+
+
 #: Driver-visible ordering (r4 VERDICT #1): the driver's correctness window
 #: is ~50 rows/round while the registry holds 167+, so plain newest-first
 #: starves older queries of driver rows forever.  DRIVER_SEEN.json (committed,
@@ -7925,6 +7968,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
+    "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",

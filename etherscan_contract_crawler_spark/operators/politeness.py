@@ -27,7 +27,7 @@ contain a Partial WindowGroupLimit below the Exchange.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: reference's intended budget: 5 calls / 1 s (contract_crawler.py:373)
@@ -613,3 +613,69 @@ def adaptive_politeness(
         .cast("long")
         .alias("budget"),
     )
+
+
+def rendezvous_assign(
+    domains: DataFrame,
+    n_slots: int,
+    prev_slots: int | None = None,
+    domain_col: str = "domain",
+    seed: int = 11,
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) assignment of domains to fetcher
+    slots — the executor-affinity layer of a 1000-executor crawl.
+
+    A domain's fetch state (connection pool, robots cache, politeness
+    window) should live on ONE executor slot; plain ``hash(domain) % n``
+    reassigns ~100% of domains when n changes, destroying every warm
+    cache on rescale. Rendezvous hashing assigns ``argmax over s of
+    h(domain, s)`` — when n grows to n', only the domains whose argmax
+    lands in the NEW slots move (expected fraction (n'-n)/n'), everything
+    else stays put. The reference has no distribution layer at all (one
+    Python process, contract_crawler.py:471-490).
+
+    Pure Column plan: the k candidate hashes per domain are a transform
+    over a literal slot sequence (k = n_slots, a cluster-size constant,
+    never data-sized), the argmax an ``array_position`` over ``array_max``
+    — zero shuffles, zero UDFs. With ``prev_slots`` set, also emits the
+    previous assignment and a ``moved`` flag so the rescale cost is a
+    one-scan audit.
+
+    Returns ``(domain, slot[, prev_slot, moved])``.
+    """
+
+    def slot_for(n: int) -> Column:
+        # md5-derived 60-bit weights (not xxhash64) so the DuckDB oracle
+        # re-derives the identical assignment; first-match argmax keeps
+        # ties deterministic (lowest slot wins) on both engines
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(domain_col),
+                            s.cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        return (F.array_position(hs, F.array_max(hs)) - 1).cast("int")
+
+    out = domains.select(
+        F.col(domain_col).alias("domain"), slot_for(n_slots).alias("slot")
+    )
+    if prev_slots is not None:
+        out = domains.select(
+            F.col(domain_col).alias("domain"),
+            slot_for(n_slots).alias("slot"),
+            slot_for(prev_slots).alias("prev_slot"),
+        ).withColumn("moved", F.col("slot") != F.col("prev_slot"))
+    return out

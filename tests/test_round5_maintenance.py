@@ -117,3 +117,26 @@ def test_curriculum_repartition_invariance(spark):
         return sorted(map(tuple, curriculum_order(df, n_buckets=5).collect()))
 
     assert run(1) == run(11)
+
+
+def test_rendezvous_minimal_movement_and_stability(spark):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        rendezvous_assign,
+    )
+
+    domains = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1000)], ["domain"]
+    )
+    out = rendezvous_assign(domains, n_slots=20, prev_slots=16).collect()
+    moved = sum(1 for r in out if r["moved"])
+    # HRW rescale 16 -> 20: expected move fraction (20-16)/20 = 0.2
+    assert 0.1 < moved / len(out) < 0.3
+    # every moved domain landed in a NEW slot (16..19) — HRW's guarantee
+    assert all(r["slot"] >= 16 for r in out if r["moved"])
+    # slots are used roughly uniformly (no empty slot at 1000 domains)
+    slots = {r["slot"] for r in out}
+    assert slots == set(range(20))
+    # stability: same n -> identical assignment
+    again = rendezvous_assign(domains.repartition(7), n_slots=20).collect()
+    a = {r["domain"]: r["slot"] for r in out}
+    assert all(a[r["domain"]] == r["slot"] for r in again)
