@@ -7904,6 +7904,54 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# Per-domain crawl sessions (streaming/lateness.py crawl_sessions):
+# Spark's session_window primitive in batch mode — bursts separated by
+# more than the gap collapse to one (start, last-event, count) row; the
+# politeness-retuning read on a landing log. Oracle = gaps-and-islands
+# (lag + boundary flag + running sum), pinning the boundary rule: an
+# event exactly gap seconds after the previous one still EXTENDS the
+# session (only strictly-greater gaps split).
+@_q(
+    "crawl_sessions",
+    """
+    WITH ev AS (
+      SELECT 'd' || CAST(user_id % 40 AS VARCHAR) AS domain,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events),
+    l AS (SELECT domain, ts_s,
+                 lag(ts_s) OVER (PARTITION BY domain ORDER BY ts_s) AS prev
+          FROM ev),
+    f AS (SELECT domain, ts_s,
+                 CASE WHEN prev IS NULL OR ts_s - prev > 600
+                      THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    g AS (SELECT domain, ts_s,
+                 SUM(new_s) OVER (PARTITION BY domain ORDER BY ts_s
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT domain, CAST(min(ts_s) AS BIGINT) AS session_start_s,
+           CAST(max(ts_s) AS BIGINT) AS session_end_s,
+           CAST(count(*) AS BIGINT) AS n_fetches
+    FROM g GROUP BY domain, sid
+    """,
+)
+def crawl_sessions_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.streaming.lateness import (
+        crawl_sessions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 40).cast("string")).alias(
+            "domain"
+        ),
+        F.to_timestamp(
+            F.from_unixtime(F.unix_timestamp("ts"))
+        ).alias("ts"),
+    )
+    return crawl_sessions(log, gap_s=600)
+
+
 # Rendezvous (HRW) slot assignment (operators/politeness.py
 # rendezvous_assign): the executor-affinity layer — a domain's fetch
 # state (connection pool, robots cache, politeness window) lives on one
@@ -7968,7 +8016,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
-    "rendezvous_assign",
+    "crawl_sessions", "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",

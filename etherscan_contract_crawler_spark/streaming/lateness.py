@@ -83,3 +83,46 @@ def watermark_lateness_audit(
             .alias("p99_late_s"),
         )
     )
+
+
+def crawl_sessions(
+    events: DataFrame,
+    gap_s: int = 600,
+    key_col: str = "domain",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-domain fetch sessions via Spark's ``session_window`` — bursts of
+    activity separated by ≥ ``gap_s`` of silence collapse into one session
+    row (start, end, n_fetches). The crawl-ops read on a landing log:
+    session count and length per domain profile how bursty the scheduler
+    actually is against a domain, the input to politeness retuning; the
+    reference has no notion of time at all (sequential loop).
+
+    Uses the dynamic-gap session window primitive in BATCH mode — the
+    same expression works unchanged under ``readStream`` with a
+    watermark, which is why this operator lives in the streaming layer.
+    The DuckDB oracle re-derives the identical sessions with the classic
+    gaps-and-islands chain (lag + boundary flag + running sum), pinning
+    the primitive's boundary semantics: an event EXACTLY ``gap_s`` after
+    the previous one still extends the session — only a STRICTLY greater
+    gap splits (verified empirically; the oracle encodes
+    ``ts - prev_ts > gap_s``).
+
+    Returns ``(domain, session_start_s, session_end_s, n_fetches)`` with
+    second-granularity BIGINT bounds (``session_end_s`` = last event ts,
+    not the window close). One exchange on (key, window).
+    """
+    w = F.session_window(F.col(ts_col), f"{int(gap_s)} seconds")
+    agg = (
+        events.groupBy(F.col(key_col).alias("domain"), w.alias("_w"))
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.max(F.col(ts_col)).alias("_last"),
+        )
+    )
+    return agg.select(
+        "domain",
+        F.unix_timestamp(F.col("_w.start")).cast("long").alias("session_start_s"),
+        F.unix_timestamp(F.col("_last")).cast("long").alias("session_end_s"),
+        "n_fetches",
+    )

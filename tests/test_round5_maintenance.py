@@ -140,3 +140,28 @@ def test_rendezvous_minimal_movement_and_stability(spark):
     again = rendezvous_assign(domains.repartition(7), n_slots=20).collect()
     a = {r["domain"]: r["slot"] for r in out}
     assert all(a[r["domain"]] == r["slot"] for r in again)
+
+
+def test_crawl_sessions_gap_boundary(spark):
+    import datetime
+
+    from etherscan_contract_crawler_spark.streaming.lateness import (
+        crawl_sessions,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("a", at(0)), ("a", at(600)),        # exactly gap -> SAME session
+        ("a", at(600 + 601)),                # > gap -> new session
+        ("b", at(0)),                        # other domain independent
+    ]
+    df = spark.createDataFrame(rows, ["domain", "ts"])
+    out = sorted(
+        (r["domain"], r["n_fetches"])
+        for r in crawl_sessions(df, gap_s=600).collect()
+    )
+    assert out == [("a", 1), ("a", 2), ("b", 1)]
