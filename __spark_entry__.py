@@ -7904,6 +7904,65 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# Bloom URL-seen accuracy gate (operators/bloom.py SegmentStore): the
+# segmented bloom store's two guarantees, driver-visible like the ANN
+# recall rows — NO false negatives on the inserted set (the dedup
+# correctness contract: a false negative would re-fetch a seen URL) and
+# measured FPR on a disjoint fresh set under the configured
+# bits_per_key=12 bound (theoretical ~0.3%; gate at 2%). Builds a real
+# segment store in a temp dir (eager Spark build job, same applyInPandas
+# path the engine runs per epoch) and probes both sets. Counts are
+# oracle-checked; the two flags are the gate.
+@_q(
+    "bloom_fpr_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(count(*) AS BIGINT) AS n_fresh,
+           TRUE AS no_false_negatives, TRUE AS fpr_le_2pct
+    FROM orders
+    """,
+)
+def bloom_fpr_gate_q(spark, sf_dir):
+    import tempfile
+
+    from etherscan_contract_crawler_spark.operators.bloom import SegmentStore
+
+    o = _t(spark, sf_dir, "orders")
+
+    def keyed(prefix):
+        sha = F.sha1(
+            F.concat(F.lit(prefix), F.col("o_orderkey").cast("string"))
+        )
+        return o.select(
+            sha.alias("url_sha1"),
+            F.pmod(
+                F.conv(F.substring(sha, 1, 4), 16, 10).cast("long"), F.lit(8)
+            )
+            .cast("int")
+            .alias("domain_hash"),
+        )
+
+    seen, fresh = keyed("s"), keyed("f")
+    store = SegmentStore(
+        tempfile.mkdtemp(prefix="bloom_gate_"), n_buckets=8, bits_per_key=12
+    )
+    store.build(seen, version=1)
+    ps = store.probe(seen, 1).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.sum((~F.col("bloom_maybe")).cast("long")).alias("_fn"),
+    )
+    pf = store.probe(fresh, 1).agg(
+        F.count("*").cast("long").alias("n_fresh"),
+        F.sum(F.col("bloom_maybe").cast("long")).alias("_fp"),
+    )
+    return ps.crossJoin(F.broadcast(pf)).select(
+        "n_seen",
+        "n_fresh",
+        (F.col("_fn") == 0).alias("no_false_negatives"),
+        (F.col("_fp") * 50 <= F.col("n_fresh")).alias("fpr_le_2pct"),
+    )
+
+
 # Per-domain crawl sessions (streaming/lateness.py crawl_sessions):
 # Spark's session_window primitive in batch mode — bursts separated by
 # more than the gap collapse to one (start, last-event, count) row; the
@@ -8016,7 +8075,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
-    "crawl_sessions", "rendezvous_assign",
+    "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",
