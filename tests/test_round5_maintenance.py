@@ -165,3 +165,54 @@ def test_crawl_sessions_gap_boundary(spark):
         for r in crawl_sessions(df, gap_s=600).collect()
     )
     assert out == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_crawl_sessions_runs_under_readstream(spark, tmp_path):
+    """The operator's claim is that the same session_window expression runs
+    unchanged as a streaming agg: drive it through readStream + watermark
+    (append mode, availableNow) and check the closed sessions match the
+    batch answer for the same input."""
+    import datetime
+    import os
+
+    from etherscan_contract_crawler_spark.streaming.lateness import (
+        crawl_sessions,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("a", base), ("a", base + datetime.timedelta(seconds=300)),
+        ("a", base + datetime.timedelta(seconds=2000)),
+        ("b", base + datetime.timedelta(seconds=100)),
+        # late high-water event so every session above is watermark-closed
+        ("z", base + datetime.timedelta(seconds=100000)),
+    ]
+    ddl = "domain string, ts timestamp"
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(ddl).parquet(in_dir).withWatermark("ts", "1 hour")
+    q = (
+        crawl_sessions(stream, gap_s=600)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["domain"], r["n_fetches"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["domain"] != "z"
+    )
+    assert got == [("a", 1), ("a", 2), ("b", 1)]
+    batch = sorted(
+        (r["domain"], r["n_fetches"])
+        for r in crawl_sessions(
+            spark.createDataFrame(rows, ddl), gap_s=600
+        ).collect()
+        if r["domain"] != "z"
+    )
+    assert got == batch
