@@ -7904,6 +7904,48 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# Exact proportional budget allocation (operators/politeness.py
+# hamilton_allocate): split a global epoch capacity across domains
+# proportionally to backlog with the largest-remainder rule —
+# sum(alloc) == capacity EXACTLY under shortage, never exceeding any
+# domain's own demand. Per-row arithmetic vs a broadcast total; the one
+# global rank window is domain-dimension-sized, never URL-sized.
+@_q(
+    "budget_allocation",
+    """
+    WITH d AS (SELECT 'd' || CAST(c_custkey % 300 AS VARCHAR) AS domain,
+                      CAST(count(*) AS BIGINT) AS n_pending
+               FROM customer GROUP BY 1),
+    t AS (SELECT SUM(n_pending) AS total FROM d),
+    q AS (SELECT domain, n_pending, total,
+                 500 * n_pending / CAST(total AS DOUBLE) AS quota
+          FROM d CROSS JOIN t),
+    b AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+                 quota - floor(quota) AS rem FROM q),
+    l AS (SELECT 500 - SUM(base) AS leftn FROM b),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+          FROM b CROSS JOIN l)
+    SELECT domain, n_pending,
+           CAST(CASE WHEN total <= 500 THEN n_pending
+                     ELSE base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def budget_allocation_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        hamilton_allocate,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    demand = c.groupBy(
+        F.concat(F.lit("d"), (F.col("c_custkey") % 300).cast("string")).alias(
+            "domain"
+        )
+    ).agg(F.count("*").cast("long").alias("n_pending"))
+    return hamilton_allocate(demand, capacity=500)
+
+
 # Bloom URL-seen accuracy gate (operators/bloom.py SegmentStore): the
 # segmented bloom store's two guarantees, driver-visible like the ANN
 # recall rows — NO false negatives on the inserted set (the dedup
@@ -8075,7 +8117,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
-    "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
+    "budget_allocation", "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",

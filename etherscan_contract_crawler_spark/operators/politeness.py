@@ -679,3 +679,63 @@ def rendezvous_assign(
             slot_for(prev_slots).alias("prev_slot"),
         ).withColumn("moved", F.col("slot") != F.col("prev_slot"))
     return out
+
+
+def hamilton_allocate(
+    demand: DataFrame,
+    capacity: int,
+    key_col: str = "domain",
+    demand_col: str = "n_pending",
+) -> DataFrame:
+    """Exact proportional budget allocation (Hamilton / largest-remainder):
+    split a global epoch fetch capacity across domains proportionally to
+    backlog, in integers, with ``sum(alloc) == min(capacity,
+    total_demand)`` EXACTLY — the follow-the-remainder rule electoral
+    apportionment uses, applied to the scheduler's capacity knob
+    (max_epoch_capacity hands this operator the number it derives).
+
+    When capacity covers total demand every domain gets its full backlog.
+    Otherwise ``alloc = floor(capacity * d_i / total) (+1 for the
+    largest-remainder domains until the capacity is exact)``. Because
+    ``quota_i < d_i`` strictly under shortage, ``floor(quota)+1 <=
+    ceil(quota) <= d_i`` — an allocation can never exceed the domain's
+    own demand. Ties break (remainder desc, domain asc) so the result is
+    total-order deterministic on both engines.
+
+    Scale: all arithmetic is per-row against a broadcast 1-row total; the
+    single global remainder-rank window is DOMAIN-count-sized (the
+    politeness dimension, millions of rows at worst — the same class as
+    mixture_plan's source dimension), never URL-sized.
+    """
+    d = demand.select(
+        F.col(key_col).alias("domain"),
+        F.col(demand_col).cast("long").alias("n_pending"),
+    )
+    tot = d.agg(F.sum("n_pending").alias("_total"))
+    q = d.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_pending",
+        "_total",
+        (F.lit(int(capacity)) * F.col("n_pending") / F.col("_total")).alias("_quota"),
+    )
+    base = q.select(
+        "domain",
+        "n_pending",
+        "_total",
+        F.floor("_quota").cast("long").alias("_base"),
+        (F.col("_quota") - F.floor("_quota")).alias("_rem"),
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("domain"))
+    short = base.crossJoin(
+        F.broadcast(
+            base.agg((F.lit(int(capacity)) - F.sum("_base")).alias("_left"))
+        )
+    ).withColumn("_rk", F.row_number().over(w))
+    alloc = F.when(
+        F.col("_total") <= capacity, F.col("n_pending")
+    ).otherwise(
+        F.col("_base") + (F.col("_rk") <= F.col("_left")).cast("long")
+    )
+    return short.select(
+        "domain", "n_pending", alloc.cast("long").alias("alloc")
+    )

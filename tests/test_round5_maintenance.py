@@ -216,3 +216,23 @@ def test_crawl_sessions_runs_under_readstream(spark, tmp_path):
         if r["domain"] != "z"
     )
     assert got == batch
+
+
+def test_hamilton_allocation_exact_and_bounded(spark):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        hamilton_allocate,
+    )
+
+    demand = spark.createDataFrame(
+        [("a", 7), ("b", 3), ("c", 5), ("d", 1)], ["domain", "n_pending"]
+    )
+    # shortage: capacity 10 of 16 -> sum(alloc) == 10 exactly, each
+    # alloc <= demand, proportionality within 1 of the real quota
+    out = {r["domain"]: r["alloc"] for r in hamilton_allocate(demand, 10).collect()}
+    assert sum(out.values()) == 10
+    for dom, dem in (("a", 7), ("b", 3), ("c", 5), ("d", 1)):
+        assert 0 <= out[dom] <= dem
+        assert abs(out[dom] - 10 * dem / 16) < 1
+    # covered: capacity >= total -> everyone gets full demand
+    full = {r["domain"]: r["alloc"] for r in hamilton_allocate(demand, 99).collect()}
+    assert full == {"a": 7, "b": 3, "c": 5, "d": 1}
