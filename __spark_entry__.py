@@ -7904,6 +7904,149 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# PQ reconstruction-error gate (analytics/similarity.py pq_encode): the
+# compression-quality pin the code assignment alone can't give — mean
+# relative reconstruction error  sum(dist^2)/||v||^2  over the CLUSTERED
+# fixture must stay under 0.7 (measured 0.51-0.52 at every sf; on
+# uniform vectors PQ can't compress — measured 1.05 — which is why the
+# gate runs on the skewed fixture where structure exists). Same
+# driver-visible gate pattern as the ANN recall / sketch rows.
+@_q(
+    "pq_recon_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors, 4 AS m, 16 AS n_codes,
+           0.7 AS bound, TRUE AS recon_rel_le_bound
+    FROM embeddings
+    """,
+)
+def pq_recon_gate_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.similarity import (
+        _norm,
+        pq_encode,
+    )
+
+    e = _skew_vecs(_t(spark, sf_dir, "embeddings"))
+    codes = pq_encode(e, m=4, n_codes=16)
+    errs = codes.groupBy("vec_id").agg(
+        F.sum(F.col("dist") * F.col("dist")).alias("_qe")
+    )
+    norms = e.select(
+        "vec_id", (_norm(F.col("embedding")) ** 2).alias("_n2")
+    )
+    agg = errs.join(norms, "vec_id").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.avg(F.col("_qe") / F.col("_n2")).alias("_rel"),
+    )
+    return agg.select(
+        "n_vectors",
+        F.lit(4).alias("m"),
+        F.lit(16).alias("n_codes"),
+        F.lit(0.7).alias("bound"),
+        (F.col("_rel") <= 0.7).alias("recon_rel_le_bound"),
+    )
+
+
+# Crawl-ops report (integration flagship for the OPS side, the
+# counterpart of corpus_curation's data side): per-domain epoch health in
+# ONE chained plan — outcome counts (error rate), trailing-window peak +
+# budget compliance (rate_compliance_audit's RANGE frame), and session
+# burstiness (crawl_sessions collapsed to count/longest). The oracle
+# chains the same three CTE fragments, so alias/key drift BETWEEN the
+# composed operators is driver-visible, not just each operator alone.
+@_q(
+    "crawl_ops_report",
+    """
+    WITH log AS (
+      SELECT 'd' || CAST(user_id % 40 AS VARCHAR) AS domain,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_type = 'error' AS is_err
+      FROM events),
+    outc AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_fetches,
+                    CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_errors
+             FROM log GROUP BY domain),
+    win AS (SELECT domain,
+                   count(*) OVER (PARTITION BY domain ORDER BY ts_s
+                                  RANGE BETWEEN 9 PRECEDING AND CURRENT ROW)
+                     AS in_win
+            FROM log),
+    pk AS (SELECT domain, CAST(max(in_win) AS BIGINT) AS peak_in_window
+           FROM win GROUP BY domain),
+    l AS (SELECT domain, ts_s,
+                 lag(ts_s) OVER (PARTITION BY domain ORDER BY ts_s) AS prev
+          FROM log),
+    f AS (SELECT domain, ts_s,
+                 CASE WHEN prev IS NULL OR ts_s - prev > 600
+                      THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    g AS (SELECT domain, ts_s,
+                 SUM(new_s) OVER (PARTITION BY domain ORDER BY ts_s
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    sess AS (SELECT domain, sid, count(*) AS n FROM g GROUP BY domain, sid),
+    sa AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_sessions,
+                  CAST(max(n) AS BIGINT) AS longest_session
+           FROM sess GROUP BY domain)
+    SELECT outc.domain, n_fetches, n_errors, peak_in_window,
+           peak_in_window <= 8 AS compliant,
+           n_sessions, longest_session,
+           5 * n_errors <= n_fetches AS healthy
+    FROM outc JOIN pk USING (domain) JOIN sa USING (domain)
+    """,
+)
+def crawl_ops_report_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.operators.politeness import (
+        rate_compliance_audit,
+    )
+    from etherscan_contract_crawler_spark.streaming.lateness import (
+        crawl_sessions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 40).cast("string")).alias(
+            "domain"
+        ),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    outc = log.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.col("is_err").cast("long")).alias("n_errors"),
+    )
+    # uniform budget 8/10s: reuse the audited RANGE-frame operator, then
+    # keep its peak column (its n_fetches would collide with outc's)
+    budgets = outc.select(
+        "domain", F.lit(8).cast("long").alias("max_per_window")
+    )
+    comp = rate_compliance_audit(log, budgets, window_s=10).select(
+        "domain", "peak_in_window", "compliant"
+    )
+    sess = (
+        crawl_sessions(
+            log.select(
+                "domain",
+                F.to_timestamp(F.from_unixtime(F.col("ts_s"))).alias("ts"),
+            ),
+            gap_s=600,
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_fetches").cast("long").alias("longest_session"),
+        )
+    )
+    return (
+        outc.join(comp, "domain")
+        .join(sess, "domain")
+        .select(
+            "domain", "n_fetches", "n_errors", "peak_in_window", "compliant",
+            "n_sessions", "longest_session",
+            (5 * F.col("n_errors") <= F.col("n_fetches")).alias("healthy"),
+        )
+    )
+
+
 # Exact proportional budget allocation (operators/politeness.py
 # hamilton_allocate): split a global epoch capacity across domains
 # proportionally to backlog with the largest-remainder rule —
@@ -8117,7 +8260,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
-    "budget_allocation", "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
+    "pq_recon_gate", "crawl_ops_report", "budget_allocation", "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",
