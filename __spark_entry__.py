@@ -7904,6 +7904,38 @@ def curriculum_order_q(spark, sf_dir):
     return curriculum_order(d, n_buckets=8)
 
 
+# Tokenizer fertility audit (analytics/text.py tokenizer_fertility):
+# tokens-per-word + bytes-per-token per language — the per-language
+# tokenizer-coverage metrics (high fertility = the vocabulary
+# under-serves that language and its effective context shrinks). Exact
+# integer totals + 6-dp ratios; one hash agg on lang, scan-speed below.
+@_q(
+    "tokenizer_fertility",
+    """
+    WITH per AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '')) AS w,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t,
+             strlen(text) AS b
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(b) AS BIGINT) AS n_bytes,
+           round(sum(t) / CAST(sum(w) AS DOUBLE), 6) AS fertility,
+           round(sum(b) / CAST(sum(t) AS DOUBLE), 6) AS bytes_per_token
+    FROM per GROUP BY lang
+    """,
+)
+def tokenizer_fertility_q(spark, sf_dir):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 # PQ reconstruction-error gate (analytics/similarity.py pq_encode): the
 # compression-quality pin the code assignment alone can't give — mean
 # relative reconstruction error  sum(dist^2)/||v||^2  over the CLUSTERED
@@ -8260,7 +8292,7 @@ def _driver_seen() -> set:
 
 _NEWEST_FIRST = [
     # round 5
-    "pq_recon_gate", "crawl_ops_report", "budget_allocation", "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
+    "tokenizer_fertility", "pq_recon_gate", "crawl_ops_report", "budget_allocation", "bloom_fpr_gate", "crawl_sessions", "rendezvous_assign",
     "compaction_plan", "snapshot_expiry", "lm_perplexity",
     "curriculum_order",
     "ann_lsh_recall_skew", "ann_ivf_recall_skew",

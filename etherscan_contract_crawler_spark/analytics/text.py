@@ -1013,3 +1013,50 @@ def lm_perplexity_filter(
         "doc_id", "n_bigrams", "neg_logp",
         (F.col("neg_logp") <= max_neg_logp).alias("keep"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit: tokens-per-word and bytes-per-token per
+    language — the standard tokenizer-evaluation metrics (a fertility far
+    above ~1.3 on a language means the vocabulary under-serves it and its
+    effective context window shrinks; the number multilingual tokenizer
+    papers report per language). Token rule = the engine's shared TOKEN_RE;
+    words = whitespace segmentation; bytes = octet length.
+
+    Ratios are integer cross-multiplied into the output as exact integer
+    totals plus 6-dp rounded ratios, so the oracle compares exactly.
+    One map-side-combinable hash agg on lang; pure scan projections below
+    it — zero extra shuffles at any corpus size.
+
+    Returns ``(lang, n_docs, n_words, n_tokens, n_bytes, fertility,
+    bytes_per_token)``.
+    """
+    t = F.col(text_col)
+    words = F.size(
+        F.filter(
+            F.split(F.trim(t), r"\s+"), lambda w: w != F.lit("")
+        )
+    )
+    per = docs.select(
+        F.col(lang_col).alias("lang"),
+        words.cast("long").alias("_w"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("_t"),
+        F.octet_length(t).cast("long").alias("_b"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_b").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_bytes",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("n_bytes") / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+    )

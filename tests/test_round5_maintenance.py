@@ -236,3 +236,19 @@ def test_hamilton_allocation_exact_and_bounded(spark):
     # covered: capacity >= total -> everyone gets full demand
     full = {r["domain"]: r["alloc"] for r in hamilton_allocate(demand, 99).collect()}
     assert full == {"a": 7, "b": 3, "c": 5, "d": 1}
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    from etherscan_contract_crawler_spark.analytics.text import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "ab cd"), ("en", "e,f"), ("de", "x")],
+        ["lang", "text"],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    # en: words 'ab','cd' + 'e,f' = 3; tokens ab,cd,e,f = 4; bytes 5+3 = 8
+    assert (out["en"]["n_words"], out["en"]["n_tokens"], out["en"]["n_bytes"]) == (3, 4, 8)
+    assert abs(out["en"]["fertility"] - round(4 / 3, 6)) < 1e-12
+    assert out["de"]["fertility"] == 1.0 and out["de"]["bytes_per_token"] == 1.0
